@@ -1,0 +1,153 @@
+"""Columnar vectors: the TPU analogue of Trino's Block hierarchy.
+
+Reference: ``core/trino-spi/src/main/java/io/trino/spi/block/Block.java:25``
+and its implementations (``LongArrayBlock``, ``VariableWidthBlock``,
+``DictionaryBlock``, ``RunLengthEncodedBlock``).  The TPU design replaces the
+object hierarchy with one struct-of-arrays record and three physical layouts:
+
+- ``PLAIN``:  fixed-width values array ``[N]`` (covers Long/Int/Short/Byte
+  ArrayBlock and decimal-as-int64).
+- ``DICT``:   ``int32`` codes ``[N]`` + host-side string dictionary (covers
+  DictionaryBlock; low-cardinality strings).
+- ``BYTES``:  fixed-width ``uint8`` matrix ``[N, W]`` + lengths ``[N]``
+  (covers VariableWidthBlock for strings that must be matched/compared on
+  device, e.g. LIKE over comments).
+
+Null handling follows the reference's per-position null mask
+(``Block.java:289 isNull``): ``validity`` is a bool array, ``None`` meaning
+all-valid (the common TPC-H case, where only outer joins introduce nulls).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional, Union
+
+import numpy as np
+
+from .types import (
+    DataType,
+    VarcharType,
+    CharType,
+    is_string,
+)
+
+PLAIN = "plain"
+DICT = "dict"
+BYTES = "bytes"
+
+ArrayLike = Union[np.ndarray, "jax.Array"]  # noqa: F821 - device arrays allowed
+
+
+@dataclass
+class Column:
+    dtype: DataType
+    values: ArrayLike                       # PLAIN:[N] | DICT:[N] codes | BYTES:[N,W]
+    validity: Optional[ArrayLike] = None    # bool [N]; None == all valid
+    kind: str = PLAIN
+    dictionary: Optional[np.ndarray] = None  # kind==DICT: np.ndarray of str objects
+    lengths: Optional[ArrayLike] = None      # kind==BYTES: int32 [N]
+
+    def __post_init__(self):
+        if self.kind == DICT and self.dictionary is None:
+            raise ValueError("DICT column requires a dictionary")
+        if self.kind == BYTES and self.lengths is None:
+            self.lengths = np.full(
+                self.values.shape[0],
+                self.values.shape[1] if self.values.ndim > 1 else 0,
+                dtype=np.int32,
+            )
+
+    @property
+    def row_count(self) -> int:
+        return int(self.values.shape[0])
+
+    def with_values(self, values, validity="__keep__") -> "Column":
+        v = self.validity if validity == "__keep__" else validity
+        return replace(self, values=values, validity=v)
+
+    def take(self, indices: np.ndarray) -> "Column":
+        """Positional gather (reference ``Block.copyPositions:250``)."""
+        out = replace(
+            self,
+            values=np.asarray(self.values)[indices],
+            validity=None if self.validity is None else np.asarray(self.validity)[indices],
+            lengths=None if self.lengths is None else np.asarray(self.lengths)[indices],
+        )
+        return out
+
+    def slice(self, start: int, count: int) -> "Column":
+        """Region view (reference ``Block.getRegion:261``)."""
+        sl = slice(start, start + count)
+        return replace(
+            self,
+            values=self.values[sl],
+            validity=None if self.validity is None else self.validity[sl],
+            lengths=None if self.lengths is None else self.lengths[sl],
+        )
+
+    # ---- host-side materialization (testing / client output) ----
+
+    def to_pylist(self):
+        n = self.row_count
+        valid = np.ones(n, dtype=bool) if self.validity is None else np.asarray(self.validity)
+        out = []
+        if self.kind == DICT:
+            codes = np.asarray(self.values)
+            for i in range(n):
+                out.append(str(self.dictionary[codes[i]]) if valid[i] else None)
+        elif self.kind == BYTES:
+            vals = np.asarray(self.values)
+            lens = np.asarray(self.lengths)
+            for i in range(n):
+                out.append(
+                    bytes(vals[i, : lens[i]]).decode("ascii", "replace") if valid[i] else None
+                )
+        else:
+            vals = np.asarray(self.values)
+            for i in range(n):
+                out.append(vals[i].item() if valid[i] else None)
+        return out
+
+
+def plain_column(dtype: DataType, values, validity=None) -> Column:
+    return Column(dtype=dtype, values=values, validity=validity, kind=PLAIN)
+
+
+def dict_column(dtype: DataType, codes, dictionary, validity=None) -> Column:
+    assert is_string(dtype)
+    return Column(
+        dtype=dtype,
+        values=np.asarray(codes, dtype=np.int32),
+        validity=validity,
+        kind=DICT,
+        dictionary=np.asarray(dictionary, dtype=object),
+    )
+
+
+def bytes_column(dtype: DataType, strings=None, *, values=None, lengths=None, validity=None) -> Column:
+    """Build a fixed-width bytes column from python strings or raw arrays."""
+    assert is_string(dtype)
+    if strings is not None:
+        enc = [s.encode("ascii") for s in strings]
+        width = max((len(b) for b in enc), default=1)
+        if isinstance(dtype, (VarcharType, CharType)) and dtype.length:
+            width = max(width, dtype.length)
+        n = len(enc)
+        values = np.zeros((n, width), dtype=np.uint8)
+        lengths = np.zeros(n, dtype=np.int32)
+        for i, b in enumerate(enc):
+            values[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            lengths[i] = len(b)
+    return Column(
+        dtype=dtype,
+        values=values,
+        validity=validity,
+        kind=BYTES,
+        lengths=np.asarray(lengths, dtype=np.int32),
+    )
+
+
+def strings_from_bytes(values: np.ndarray, lengths: np.ndarray):
+    """Decode a BYTES layout back to python strings (host side)."""
+    return [bytes(values[i, : lengths[i]]).decode("ascii") for i in range(values.shape[0])]

@@ -1,0 +1,208 @@
+"""SQL type system mapped to fixed-width TPU-friendly physical layouts.
+
+The reference models SQL types as accessor objects over columnar blocks
+(``core/trino-spi/src/main/java/io/trino/spi/type/`` — e.g. ``BigintType``,
+``DecimalType``, ``DateType``).  Here every SQL type maps to a fixed-width
+numpy/JAX dtype so whole columns are dense device arrays:
+
+- BIGINT/INTEGER          -> int64 / int32
+- BOOLEAN                 -> bool_
+- DOUBLE                  -> float64 (kept f64 for bit-exact aggregation;
+                             hot kernels may downcast where safe)
+- DECIMAL(p<=18, s)       -> int64 holding unscaled value (Trino's "short
+                             decimal", ``spi/type/DecimalType.java``); TPC-H
+                             money is DECIMAL(15,2) = int64 cents
+- DATE                    -> int32 days since 1970-01-01 (same physical
+                             encoding as the reference: ``spi/type/DateType``)
+- VARCHAR/CHAR            -> dictionary codes (int32) + host-side dictionary,
+                             or fixed-width uint8 bytes [N, width] for device
+                             substring matching (LIKE kernels)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DataType:
+    """Base class for SQL logical types."""
+
+    name: str = field(init=False, default="unknown")
+
+    @property
+    def np_dtype(self):
+        raise NotImplementedError
+
+    def __str__(self) -> str:  # pragma: no cover - debugging aid
+        return self.name
+
+
+@dataclass(frozen=True)
+class BigintType(DataType):
+    name: str = field(init=False, default="bigint")
+
+    @property
+    def np_dtype(self):
+        return np.int64
+
+
+@dataclass(frozen=True)
+class IntegerType(DataType):
+    name: str = field(init=False, default="integer")
+
+    @property
+    def np_dtype(self):
+        return np.int32
+
+
+@dataclass(frozen=True)
+class BooleanType(DataType):
+    name: str = field(init=False, default="boolean")
+
+    @property
+    def np_dtype(self):
+        return np.bool_
+
+
+@dataclass(frozen=True)
+class DoubleType(DataType):
+    name: str = field(init=False, default="double")
+
+    @property
+    def np_dtype(self):
+        return np.float64
+
+
+@dataclass(frozen=True)
+class DecimalType(DataType):
+    """Short decimal: unscaled int64 value with static (precision, scale).
+
+    Mirrors Trino's exact-decimal semantics (``spi/type/Decimals.java``)
+    without Int128: TPC-H needs at most DECIMAL(15,2) columns and the engine
+    widens intermediate precision like the reference's type-inference rules.
+    """
+
+    precision: int = 15
+    scale: int = 2
+    name: str = field(init=False, default="decimal")
+
+    @property
+    def np_dtype(self):
+        return np.int64
+
+    def __str__(self) -> str:
+        return f"decimal({self.precision},{self.scale})"
+
+
+@dataclass(frozen=True)
+class DateType(DataType):
+    name: str = field(init=False, default="date")
+
+    @property
+    def np_dtype(self):
+        return np.int32
+
+
+@dataclass(frozen=True)
+class VarcharType(DataType):
+    """Variable-width string; physical layout chosen per column (dictionary
+    codes or fixed-width bytes). ``length`` is the DDL bound (None=unbounded)."""
+
+    length: Optional[int] = None
+    name: str = field(init=False, default="varchar")
+
+    @property
+    def np_dtype(self):
+        # logical accessor dtype when dictionary-encoded
+        return np.int32
+
+    def __str__(self) -> str:
+        return f"varchar({self.length})" if self.length is not None else "varchar"
+
+
+@dataclass(frozen=True)
+class CharType(DataType):
+    length: int = 1
+    name: str = field(init=False, default="char")
+
+    @property
+    def np_dtype(self):
+        return np.int32
+
+    def __str__(self) -> str:
+        return f"char({self.length})"
+
+
+BIGINT = BigintType()
+INTEGER = IntegerType()
+BOOLEAN = BooleanType()
+DOUBLE = DoubleType()
+DATE = DateType()
+VARCHAR = VarcharType()
+
+
+def decimal(precision: int = 15, scale: int = 2) -> DecimalType:
+    return DecimalType(precision, scale)
+
+
+def varchar(length: Optional[int] = None) -> VarcharType:
+    return VarcharType(length)
+
+
+def char(length: int) -> CharType:
+    return CharType(length)
+
+
+def is_string(t: DataType) -> bool:
+    return isinstance(t, (VarcharType, CharType))
+
+
+def is_numeric(t: DataType) -> bool:
+    return isinstance(t, (BigintType, IntegerType, DoubleType, DecimalType))
+
+
+def is_decimal(t: DataType) -> bool:
+    return isinstance(t, DecimalType)
+
+
+def is_integral(t: DataType) -> bool:
+    return isinstance(t, (BigintType, IntegerType))
+
+
+def common_super_type(a: DataType, b: DataType) -> DataType:
+    """Type unification for binary expressions (reference:
+    ``sql/analyzer/TypeCoercion.java``)."""
+    if a == b:
+        return a
+    if isinstance(a, DoubleType) or isinstance(b, DoubleType):
+        return DOUBLE
+    if is_decimal(a) or is_decimal(b):
+        # integral+decimal -> decimal; decimal+decimal -> widest
+        da = a if is_decimal(a) else DecimalType(19, 0)
+        db = b if is_decimal(b) else DecimalType(19, 0)
+        scale = max(da.scale, db.scale)
+        ip = max(da.precision - da.scale, db.precision - db.scale)
+        return DecimalType(min(ip + scale, 38), scale)
+    if is_integral(a) and is_integral(b):
+        return BIGINT
+    if is_string(a) and is_string(b):
+        return VARCHAR
+    if isinstance(a, DateType) and isinstance(b, DateType):
+        return DATE
+    raise TypeError(f"no common super type for {a} and {b}")
+
+
+# Arithmetic result types for exact decimals, following Trino's
+# DecimalOperators rules (add/sub: s=max(s1,s2); mul: s=s1+s2).
+def decimal_add_type(a: DecimalType, b: DecimalType) -> DecimalType:
+    scale = max(a.scale, b.scale)
+    ip = max(a.precision - a.scale, b.precision - b.scale) + 1
+    return DecimalType(min(ip + scale, 38), scale)
+
+
+def decimal_mul_type(a: DecimalType, b: DecimalType) -> DecimalType:
+    return DecimalType(min(a.precision + b.precision, 38), a.scale + b.scale)
