@@ -1,0 +1,24 @@
+"""Test config: force an 8-virtual-device CPU platform before importing jax.
+
+Mirrors the reference's multi-node-in-one-JVM testing strategy
+(``testing/trino-testing/.../DistributedQueryRunner.java:72`` boots N servers
+in one process): we simulate an 8-chip mesh on CPU so sharding/collective
+paths compile and execute without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_ENABLE_X64"] = "1"
+
+# jax may already be imported by a pytest plugin; config updates below still
+# apply as long as no backend has been initialized yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+assert not jax._src.xla_bridge._backends, "XLA backend initialized before conftest"
