@@ -1,0 +1,212 @@
+"""Vectorized open-addressing hash table over device arrays.
+
+The TPU-native redesign of the reference's two hash-table kernels:
+
+- ``operator/join/PagesHash.java:35``   (join build: linear probe, power-of-2
+  capacity, murmur finalizer, duplicate chains via PositionLinks)
+- ``operator/MultiChannelGroupByHash.java:55`` (group-by: open addressing,
+  ``putIfAbsent:281``)
+
+Both are scalar row-at-a-time loops there; here insertion is a data-parallel
+fixpoint: every pending row scatter-min-races for its slot, winners claim it,
+losers with equal keys adopt it, others advance to the next slot — all rows
+advance together per round, so the number of rounds is the longest probe
+sequence (O(log N) at load factor ≤ 1/2), not O(N).  Rows with equal keys
+follow identical probe paths, which guarantees one slot per distinct key.
+Duplicate build rows are organized into CSR "position links" with one stable
+argsort instead of per-row chain updates.
+
+Everything is jit-compatible with static shapes: `capacity` is a static
+power of two; row validity is a mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .hashing import hash_keys
+
+EMPTY = jnp.int32(2**31 - 1)  # slot-owner sentinel: no row claimed
+
+
+class HashTable(NamedTuple):
+    """Device hash table: slot -> representative build row (+ CSR links)."""
+
+    owner: jnp.ndarray      # int32 [capacity]: row id of slot's first key, or EMPTY
+    keys: List[jnp.ndarray]  # build key columns [N] (referenced, not copied)
+    slot_of_row: jnp.ndarray  # int32 [N]: slot of each (masked-in) build row, -1 else
+    counts: jnp.ndarray     # int32 [capacity]: rows per slot
+    offsets: jnp.ndarray    # int32 [capacity]: CSR start per slot
+    rows_csr: jnp.ndarray   # int32 [N]: build row ids grouped by slot
+
+    @property
+    def capacity(self) -> int:
+        return self.owner.shape[0]
+
+
+def _keys_equal(keys: Sequence[jnp.ndarray], rows_a, rows_b):
+    eq = jnp.bool_(True)
+    for k in keys:
+        eq = eq & (k[rows_a] == k[rows_b])
+    return eq
+
+
+def insert(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int):
+    """Assign one slot per distinct key.
+
+    Returns (owner[capacity], slot_of_row[N]): ``owner[s]`` is the lowest
+    row id holding slot ``s``'s key (EMPTY if unused); ``slot_of_row[i]`` is
+    the slot of row i's key (-1 for masked-out rows).
+    """
+    n = keys[0].shape[0]
+    cap_mask = jnp.uint32(capacity - 1)
+    h = (hash_keys(keys) & cap_mask).astype(jnp.int32)
+    rowid = jnp.arange(n, dtype=jnp.int32)
+
+    owner0 = jnp.full((capacity,), EMPTY, dtype=jnp.int32)
+    slot0 = h
+    assigned0 = jnp.full((n,), -1, dtype=jnp.int32)
+    pending0 = mask
+
+    def cond(state):
+        _, _, _, pending = state
+        return pending.any()
+
+    def body(state):
+        owner, assigned, slot, pending = state
+        # Only rows at a currently-empty slot race to claim it (a claimed
+        # slot must never be re-claimed by a lower row id of another key).
+        racing = pending & (owner[slot] == EMPTY)
+        idx = jnp.where(racing, slot, capacity)  # OOB drops non-racers
+        owner = owner.at[idx].min(jnp.where(racing, rowid, EMPTY), mode="drop")
+        occ = owner[slot]
+        won = pending & (occ == rowid)
+        adopt = pending & ~won & (occ != EMPTY) & _keys_equal(
+            keys, jnp.minimum(occ, n - 1), rowid)
+        settled = won | adopt
+        assigned = jnp.where(settled, slot, assigned)
+        pending = pending & ~settled
+        slot = jnp.where(pending, (slot + 1) & jnp.int32(capacity - 1), slot)
+        return owner, assigned, slot, pending
+
+    owner, assigned, _, _ = jax.lax.while_loop(
+        cond, body, (owner0, assigned0, slot0, pending0))
+    return owner, assigned
+
+
+def lookup(table_owner: jnp.ndarray, build_keys: Sequence[jnp.ndarray],
+           probe_keys: Sequence[jnp.ndarray], probe_mask: jnp.ndarray):
+    """Find the slot of each probe key in a built table (no insertion).
+
+    Returns slot[N_probe] int32, -1 where the key is absent or masked out.
+    Linear probing stops at the first empty slot (no deletions ever happen).
+    """
+    capacity = table_owner.shape[0]
+    n_build = build_keys[0].shape[0]
+    h = (hash_keys(probe_keys) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+    def cond(state):
+        _, _, pending = state
+        return pending.any()
+
+    def body(state):
+        slot, result, pending = state
+        occ = table_owner[slot]
+        empty = occ == EMPTY
+        occ_c = jnp.minimum(occ, n_build - 1)
+        eq = jnp.bool_(True)
+        for bk, pk in zip(build_keys, probe_keys):
+            eq = eq & (bk[occ_c] == pk)
+        found = pending & ~empty & eq
+        missing = pending & empty
+        result = jnp.where(found, slot, result)
+        pending = pending & ~found & ~missing
+        slot = jnp.where(pending, (slot + 1) & jnp.int32(capacity - 1), slot)
+        return slot, result, pending
+
+    _, result, _ = jax.lax.while_loop(
+        cond, body, (h, jnp.full_like(h, -1), probe_mask))
+    return result
+
+
+def build(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int) -> HashTable:
+    """Build a join hash table with CSR duplicate links.
+
+    Replaces ``PagesHash`` + ``ArrayPositionLinks``: one insert fixpoint,
+    one segment count, one stable argsort.
+    """
+    n = keys[0].shape[0]
+    owner, slot_of_row = insert(keys, mask, capacity)
+    slot_cl = jnp.where(slot_of_row >= 0, slot_of_row, capacity)
+    counts = jnp.zeros((capacity,), jnp.int32).at[slot_cl].add(
+        jnp.int32(1), mode="drop")
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)[:-1]])
+    # stable sort by slot groups duplicate rows contiguously in row order
+    rows_csr = jnp.argsort(slot_cl, stable=True).astype(jnp.int32)
+    return HashTable(owner, list(keys), slot_of_row, counts, offsets, rows_csr)
+
+
+def probe_unique(table: HashTable, probe_keys: Sequence[jnp.ndarray],
+                 probe_mask: jnp.ndarray):
+    """Probe assuming build keys are unique (PK side of a FK join).
+
+    Returns (build_row[N_probe] int32 with -1 = no match).  This is the fast
+    path for every PK–FK join in TPC-H: output shape == probe shape, fully
+    static — the TPU answer to the reference's per-row join loop
+    (``operator/join/DefaultPageJoiner.java:265``).
+    """
+    slot = lookup(table.owner, table.keys, probe_keys, probe_mask)
+    return jnp.where(slot >= 0, table.owner[jnp.maximum(slot, 0)], -1)
+
+
+def probe_counts(table: HashTable, probe_keys: Sequence[jnp.ndarray],
+                 probe_mask: jnp.ndarray):
+    """Per-probe-row match count (for two-pass expanding joins)."""
+    slot = lookup(table.owner, table.keys, probe_keys, probe_mask)
+    cnt = jnp.where(slot >= 0, table.counts[jnp.maximum(slot, 0)], 0)
+    return slot, cnt.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def expand_matches(table: HashTable, slot: jnp.ndarray, cnt: jnp.ndarray,
+                   out_size: int):
+    """Second pass of an expanding join: materialize (probe_row, build_row)
+    pairs into a padded [out_size] buffer.
+
+    ``out_size`` must be >= cnt.sum() (host reads the count between passes —
+    the stage boundary where the reference pages output, we bucket-pad).
+    Returns (probe_row[out_size], build_row[out_size], valid[out_size]).
+    """
+    ends = jnp.cumsum(cnt)
+    starts = ends - cnt
+    total = ends[-1] if cnt.shape[0] else jnp.int32(0)
+    j = jnp.arange(out_size, dtype=ends.dtype)
+    probe_row = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    probe_cl = jnp.minimum(probe_row, cnt.shape[0] - 1)
+    k = j - starts[probe_cl]
+    s = jnp.maximum(slot[probe_cl], 0)
+    build_row = table.rows_csr[
+        jnp.minimum(table.offsets[s] + k.astype(jnp.int32),
+                    table.rows_csr.shape[0] - 1)]
+    valid = j < total
+    return (jnp.where(valid, probe_cl, 0),
+            jnp.where(valid, build_row, 0),
+            valid)
+
+
+def next_pow2(n: int) -> int:
+    c = 1
+    while c < n:
+        c <<= 1
+    return c
+
+
+def capacity_for(n_keys: int, load: float = 0.5) -> int:
+    """Power-of-2 capacity at fill factor <= load (PagesHash uses 0.75;
+    we default to 0.5 to shorten vectorized probe fixpoints)."""
+    return max(8, next_pow2(int(n_keys / load) + 1))

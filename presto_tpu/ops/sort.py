@@ -1,0 +1,63 @@
+"""Sort kernels: stable multi-key ordering over device arrays.
+
+Replaces ``operator/PagesIndex.java:389 sort()`` + compiled comparators
+(``sql/gen/OrderingCompiler.java``).  Instead of comparator-driven
+quicksort over row addresses, keys are normalized so XLA's native sort
+applies: descending int64 via bitwise complement, strings via big-endian
+8-byte packs (fixed-width zero-padded ASCII makes chunked int64 compare
+exactly lexicographic).  Multi-key ordering = chain of stable argsorts from
+least- to most-significant key.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+I64_MAX = jnp.int64(2**63 - 1)
+
+
+def bytes_sort_keys(values: jnp.ndarray, lengths: jnp.ndarray) -> List[jnp.ndarray]:
+    """Normalize a [N, W] ASCII byte matrix into int64 big-endian packs.
+
+    Zero padding beyond ``lengths`` sorts shorter strings first, matching
+    lexicographic order for ASCII (< 0x80 ⇒ packs stay non-negative).
+    """
+    n, w = values.shape
+    w8 = (w + 7) // 8 * 8
+    padded = jnp.zeros((n, w8), jnp.uint8)
+    padded = padded.at[:, :w].set(values)
+    mask = jnp.arange(w8)[None, :] < lengths[:, None]
+    padded = jnp.where(mask, padded, jnp.uint8(0))
+    packs = []
+    for c in range(w8 // 8):
+        chunk = padded[:, c * 8:(c + 1) * 8].astype(jnp.int64)
+        word = jnp.zeros((n,), jnp.int64)
+        for b in range(8):
+            word = (word << 8) | chunk[:, b]
+        packs.append(word)
+    return packs
+
+
+def argsort_multi(keys: Sequence[Tuple[jnp.ndarray, bool]],
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stable argsort by multiple (int-normalized) keys.
+
+    ``keys``: list of (array[N], descending) in major-to-minor order.
+    Masked-out rows sort to the end.  Returns int32 permutation.
+    """
+    n = keys[0][0].shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    for arr, desc in reversed(list(keys)):
+        k = arr.astype(jnp.int64)
+        if desc:
+            k = ~k
+        if mask is not None:
+            k = jnp.where(mask, k, I64_MAX)  # invalid rows last
+        perm = perm[jnp.argsort(k[perm], stable=True)]
+    if mask is not None:
+        # final pass: all valid rows before invalid, preserving key order
+        valid = mask[perm]
+        perm = perm[jnp.argsort(~valid, stable=True)]
+    return perm
