@@ -1,0 +1,140 @@
+"""Device-resident columnar values + chunk container.
+
+The runtime analogue of the reference's Page/Block on device
+(``core/trino-spi/.../spi/Page.java:33``): a ``DCol`` is one column's device
+arrays plus static metadata; a ``Chunk`` is an equal-length set of DCols
+with a row-validity mask (selection is a mask, never an eager compaction —
+the TPU replacement for ``SelectedPositions``).
+
+DCol is registered as a JAX pytree whose static (aux) part carries dtype,
+layout kind, and an interned ``Dictionary`` handle, so whole Chunks can flow
+through ``jax.jit`` boundaries without recompilation churn.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import types as T
+from ..data.column import Column, PLAIN, DICT, BYTES
+
+
+class Dictionary:
+    """Interned host-side string dictionary (hashable by identity, so jit
+    treats two references to the same dictionary as equal static data)."""
+
+    __slots__ = ("strings",)
+
+    def __init__(self, strings: np.ndarray):
+        self.strings = np.asarray(strings, dtype=object)
+
+    def __len__(self):
+        return len(self.strings)
+
+    def __getitem__(self, i):
+        return self.strings[i]
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DCol:
+    dtype: T.DataType
+    kind: str                      # PLAIN | DICT | BYTES
+    values: jnp.ndarray            # PLAIN:[N] | DICT codes:[N] | BYTES:[N,W]
+    lengths: Optional[jnp.ndarray] = None   # BYTES
+    validity: Optional[jnp.ndarray] = None  # bool [N]; None = all valid
+    dictionary: Optional[Dictionary] = None  # DICT
+
+    def tree_flatten(self):
+        return ((self.values, self.lengths, self.validity),
+                (self.dtype, self.kind, self.dictionary))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dtype, kind, dictionary = aux
+        values, lengths, validity = children
+        return cls(dtype, kind, values, lengths, validity, dictionary)
+
+    @property
+    def n_rows(self) -> int:
+        return int(self.values.shape[0])
+
+    def valid_or_true(self) -> jnp.ndarray:
+        if self.validity is None:
+            return jnp.ones((self.values.shape[0],), jnp.bool_)
+        return self.validity
+
+    def take(self, idx: jnp.ndarray, valid: Optional[jnp.ndarray] = None) -> "DCol":
+        """Gather rows by index; optional extra validity for padded gathers."""
+        i = jnp.maximum(idx, 0)
+        v = None if self.validity is None else self.validity[i]
+        if valid is not None:
+            v = valid if v is None else (v & valid)
+        return DCol(self.dtype, self.kind, self.values[i],
+                    None if self.lengths is None else self.lengths[i],
+                    v, self.dictionary)
+
+
+def from_host(col: Column) -> DCol:
+    validity = None if col.validity is None else jnp.asarray(col.validity)
+    if col.kind == DICT:
+        return DCol(col.dtype, DICT, jnp.asarray(col.values), None, validity,
+                    Dictionary(col.dictionary))
+    if col.kind == BYTES:
+        return DCol(col.dtype, BYTES, jnp.asarray(col.values),
+                    jnp.asarray(col.lengths), validity)
+    return DCol(col.dtype, PLAIN, jnp.asarray(col.values), None, validity)
+
+
+def to_host(col: DCol, sel: np.ndarray) -> Column:
+    """Materialize selected row indices back into a host Column."""
+    vals = np.asarray(col.values)[sel]
+    validity = None if col.validity is None else np.asarray(col.validity)[sel]
+    if col.kind == DICT:
+        return Column(col.dtype, vals.astype(np.int32), validity, DICT,
+                      dictionary=col.dictionary.strings)
+    if col.kind == BYTES:
+        return Column(col.dtype, vals, validity, BYTES,
+                      lengths=np.asarray(col.lengths)[sel])
+    return Column(col.dtype, vals, validity, PLAIN)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Chunk:
+    """Equal-length device columns + row mask (all static-shape)."""
+
+    cols: Dict[str, DCol]
+    mask: jnp.ndarray  # bool [N]
+
+    def tree_flatten(self):
+        names = tuple(sorted(self.cols))
+        return (tuple(self.cols[n] for n in names) + (self.mask,), names)
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        return cls(dict(zip(names, children[:-1])), children[-1])
+
+    @property
+    def n_rows(self) -> int:
+        return int(self.mask.shape[0])
+
+    def with_cols(self, cols: Dict[str, DCol]) -> "Chunk":
+        return Chunk(cols, self.mask)
+
+    def with_mask(self, mask: jnp.ndarray) -> "Chunk":
+        return Chunk(self.cols, mask)
+
+    def select(self, names) -> "Chunk":
+        return Chunk({n: self.cols[n] for n in names}, self.mask)

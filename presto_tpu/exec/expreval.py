@@ -1,0 +1,342 @@
+"""Expression IR → JAX trace (the kernel "compiler").
+
+Replaces the reference's per-query bytecode generation
+(``sql/gen/ExpressionCompiler.java`` / ``PageFunctionCompiler.java`` —
+generated position loops over columnar pages): tracing the IR with jnp ops
+yields exactly one fused XLA kernel per pipeline, with the VPU vectorizing
+what the JVM JIT had to loop over.
+
+Layout-aware evaluation:
+- DICT columns evaluate string predicates on the (tiny) host dictionary and
+  gather through codes — the ``DictionaryAwarePageProjection`` fast path.
+- BYTES columns use the sliding-window LIKE/compare kernels.
+- decimals are int64 unscaled; scale alignment/rounding per Trino's rules.
+
+Null semantics: every value carries optional validity; comparisons are
+null-poisoning; AND/OR are 3-valued; filters drop null predicates
+(reference: ``FilterAndProjectOperator`` treats null filter as false).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import types as T
+from ..data.column import PLAIN, DICT, BYTES
+from ..ops import strings as S
+from ..ops import decimal as D
+from ..sql import ir
+from .columns import Chunk, DCol
+
+
+def _scale_of(t: T.DataType) -> int:
+    return t.scale if T.is_decimal(t) else 0
+
+
+def _and_validity(*vs: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    out = None
+    for v in vs:
+        if v is None:
+            continue
+        out = v if out is None else (out & v)
+    return out
+
+
+def year_from_days(days: jnp.ndarray) -> jnp.ndarray:
+    """Civil year of days-since-epoch (Hinnant civil_from_days, vectorized)."""
+    z = days.astype(jnp.int64) + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    m = jnp.where(mp < 10, mp + 3, mp - 9)
+    return y + (m <= 2)
+
+
+def _dict_predicate(col: DCol, host_pred) -> jnp.ndarray:
+    """Evaluate a python string predicate over the dictionary, map by code."""
+    table = np.array([bool(host_pred(s)) for s in col.dictionary.strings])
+    return jnp.asarray(table)[col.values]
+
+
+def _bytes_of_literal(v) -> str:
+    assert isinstance(v, str), v
+    return v
+
+
+def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
+    n = chunk.n_rows
+
+    if isinstance(expr, ir.ColumnRef):
+        return chunk.cols[expr.name]
+
+    if isinstance(expr, ir.Literal):
+        t = expr.dtype
+        if expr.value is None:
+            return DCol(t, PLAIN, jnp.zeros((n,), jnp.int64),
+                        validity=jnp.zeros((n,), jnp.bool_))
+        if T.is_string(t):
+            s = expr.value.encode("ascii")
+            w = max(len(s), 1)
+            vals = jnp.broadcast_to(
+                jnp.asarray(np.frombuffer(s.ljust(w, b"\0"), np.uint8)), (n, w))
+            return DCol(t, BYTES, vals, jnp.full((n,), len(s), jnp.int32))
+        if isinstance(t, T.BooleanType):
+            return DCol(t, PLAIN, jnp.full((n,), bool(expr.value), jnp.bool_))
+        return DCol(t, PLAIN, jnp.full((n,), int(expr.value), jnp.int64))
+
+    if isinstance(expr, ir.Cast):
+        src = eval_expr(expr.arg, chunk)
+        return _cast(src, expr.dtype)
+
+    if isinstance(expr, ir.Negate):
+        a = eval_expr(expr.arg, chunk)
+        return DCol(a.dtype, PLAIN, -a.values, validity=a.validity)
+
+    if isinstance(expr, ir.Arith):
+        return _arith(expr, chunk)
+
+    if isinstance(expr, ir.Compare):
+        return _compare(expr, chunk)
+
+    if isinstance(expr, ir.Logical):
+        vals, valids = [], []
+        for a in expr.args:
+            c = eval_expr(a, chunk)
+            vals.append(c.values.astype(jnp.bool_))
+            valids.append(c.valid_or_true())
+        v = jnp.stack(vals, 0)
+        ok = jnp.stack(valids, 0)
+        if expr.op == "and":
+            any_false = (~v & ok).any(0)
+            all_true_known = (v | ~ok).all(0) & ok.all(0)
+            value = jnp.where(any_false, False, v.all(0))
+            valid = any_false | all_true_known
+        else:
+            any_true = (v & ok).any(0)
+            all_false_known = ok.all(0)
+            value = any_true
+            valid = any_true | all_false_known
+        return DCol(T.BOOLEAN, PLAIN, value, validity=valid)
+
+    if isinstance(expr, ir.Not):
+        a = eval_expr(expr.arg, chunk)
+        return DCol(T.BOOLEAN, PLAIN, ~a.values.astype(jnp.bool_),
+                    validity=a.validity)
+
+    if isinstance(expr, ir.Like):
+        col = eval_expr(expr.arg, chunk)
+        if col.kind == DICT:
+            pat = expr.pattern
+            m = _dict_predicate(col, lambda s, p=pat: _host_like(s, p))
+        elif col.kind == BYTES:
+            m = S.like(col.values, col.lengths, expr.pattern)
+        else:
+            raise TypeError(f"LIKE on {col.kind}")
+        if expr.negated:
+            m = ~m
+        return DCol(T.BOOLEAN, PLAIN, m, validity=col.validity)
+
+    if isinstance(expr, ir.InList):
+        col = eval_expr(expr.arg, chunk)
+        if col.kind == DICT:
+            vals = set(expr.values)
+            m = _dict_predicate(col, lambda s: s in vals)
+        elif col.kind == BYTES:
+            m = jnp.zeros((n,), jnp.bool_)
+            for v in expr.values:
+                m = m | S.eq_literal(col.values, col.lengths, _bytes_of_literal(v))
+        else:
+            m = jnp.zeros((n,), jnp.bool_)
+            for v in expr.values:
+                m = m | (col.values == int(v))
+        return DCol(T.BOOLEAN, PLAIN, m, validity=col.validity)
+
+    if isinstance(expr, ir.Between):
+        lo = ir.Compare(">=", expr.arg, expr.lo)
+        hi = ir.Compare("<=", expr.arg, expr.hi)
+        return eval_expr(ir.and_(lo, hi), chunk)
+
+    if isinstance(expr, ir.Case):
+        out = None
+        valid = None
+        taken = jnp.zeros((n,), jnp.bool_)
+        rt = expr.dtype
+        rs = _scale_of(rt)
+        for cond, val in expr.whens:
+            c = eval_expr(cond, chunk)
+            cm = c.values.astype(jnp.bool_) & c.valid_or_true() & ~taken
+            v = _rescale_col(eval_expr(val, chunk), rs)
+            if out is None:
+                out = jnp.where(cm, v.values, 0)
+                valid = jnp.where(cm, v.valid_or_true(), False)
+            else:
+                out = jnp.where(cm, v.values, out)
+                valid = jnp.where(cm, v.valid_or_true(), valid)
+            taken = taken | cm
+        if expr.default is not None:
+            d = _rescale_col(eval_expr(expr.default, chunk), rs)
+            out = jnp.where(taken, out, d.values)
+            valid = jnp.where(taken, valid, d.valid_or_true())
+        else:
+            valid = jnp.where(taken, valid, False)
+        return DCol(rt, PLAIN, out, validity=valid)
+
+    if isinstance(expr, ir.ExtractYear):
+        col = eval_expr(expr.arg, chunk)
+        return DCol(T.BIGINT, PLAIN, year_from_days(col.values),
+                    validity=col.validity)
+
+    if isinstance(expr, ir.Substring):
+        col = eval_expr(expr.arg, chunk)
+        assert col.kind == BYTES, "substring of dict column not yet lowered"
+        v, l = S.substring(col.values, col.lengths, expr.start, expr.size)
+        return DCol(expr.dtype, BYTES, v, l, col.validity)
+
+    if isinstance(expr, ir.IsNull):
+        col = eval_expr(expr.arg, chunk)
+        isnull = (jnp.zeros((n,), jnp.bool_) if col.validity is None
+                  else ~col.validity)
+        return DCol(T.BOOLEAN, PLAIN, ~isnull if expr.negated else isnull)
+
+    raise NotImplementedError(type(expr).__name__)
+
+
+def _host_like(s: str, pattern: str) -> bool:
+    import re
+    rx = "^" + ".*".join(re.escape(p) for p in pattern.split("%")) + "$"
+    return re.match(rx, s, re.S) is not None
+
+
+def _cast(col: DCol, to: T.DataType) -> DCol:
+    if col.dtype == to:
+        return col
+    fs, ts = _scale_of(col.dtype), _scale_of(to)
+    if col.kind == PLAIN:
+        if isinstance(to, T.DoubleType):
+            vals = col.values.astype(jnp.float64) / (10 ** fs)
+        else:
+            vals = col.values.astype(jnp.int64)
+            if fs != ts:
+                vals = D.rescale(vals, fs, ts)
+        return DCol(to, PLAIN, vals, validity=col.validity)
+    if T.is_string(to):
+        return DCol(to, col.kind, col.values, col.lengths, col.validity,
+                    col.dictionary)
+    raise NotImplementedError(f"cast {col.dtype} -> {to}")
+
+
+def _rescale_col(col: DCol, to_scale: int) -> DCol:
+    fs = _scale_of(col.dtype)
+    if fs == to_scale or col.kind != PLAIN:
+        return col
+    return DCol(T.decimal(38, to_scale), PLAIN,
+                D.rescale(col.values.astype(jnp.int64), fs, to_scale),
+                validity=col.validity)
+
+
+def _arith(expr: ir.Arith, chunk: Chunk) -> DCol:
+    lt, rt = expr.left.dtype, expr.right.dtype
+    l = eval_expr(expr.left, chunk)
+    r = eval_expr(expr.right, chunk)
+    valid = _and_validity(l.validity, r.validity)
+    rs = _scale_of(expr.dtype)
+    lv = l.values.astype(jnp.int64)
+    rv = r.values.astype(jnp.int64)
+    if expr.op in ("+", "-"):
+        lv = D.rescale(lv, _scale_of(lt), rs)
+        rv = D.rescale(rv, _scale_of(rt), rs)
+        out = lv + rv if expr.op == "+" else lv - rv
+    elif expr.op == "*":
+        out = lv * rv  # scales add: unscaled product is exact
+    elif expr.op == "/":
+        out = D.decimal_div(lv, _scale_of(lt), rv, _scale_of(rt), rs)
+        valid = _and_validity(valid, rv != 0)
+    else:
+        raise ValueError(expr.op)
+    return DCol(expr.dtype, PLAIN, out, validity=valid)
+
+
+def _compare(expr: ir.Compare, chunk: Chunk) -> DCol:
+    l = eval_expr(expr.left, chunk)
+    r = eval_expr(expr.right, chunk)
+    valid = _and_validity(l.validity, r.validity)
+
+    if l.kind == DICT and isinstance(expr.right, ir.Literal):
+        livals = expr.right.value
+        op = expr.op
+        m = _dict_predicate(l, lambda s: _cmp_str(op, s, livals))
+        return DCol(T.BOOLEAN, PLAIN, m, validity=valid)
+    if l.kind == BYTES and isinstance(expr.right, ir.Literal):
+        if expr.op == "=":
+            m = S.eq_literal(l.values, l.lengths, expr.right.value)
+        elif expr.op == "<>":
+            m = ~S.eq_literal(l.values, l.lengths, expr.right.value)
+        else:
+            raise NotImplementedError("ordered bytes compare vs literal")
+        return DCol(T.BOOLEAN, PLAIN, m, validity=valid)
+    if l.kind == BYTES and r.kind == BYTES:
+        if expr.op in ("=", "<>"):
+            w = max(l.values.shape[1], r.values.shape[1])
+
+            def pad(c):
+                d = w - c.values.shape[1]
+                return jnp.pad(c.values, ((0, 0), (0, d))) if d else c.values
+
+            eq = jnp.all(pad(l) == pad(r), axis=1) & (l.lengths == r.lengths)
+            m = eq if expr.op == "=" else ~eq
+            return DCol(T.BOOLEAN, PLAIN, m, validity=valid)
+        raise NotImplementedError("ordered bytes compare")
+    if l.kind == DICT and r.kind == DICT and l.dictionary is r.dictionary:
+        m = _int_cmp(expr.op, l.values, r.values)
+        return DCol(T.BOOLEAN, PLAIN, m, validity=valid)
+
+    # numeric/date/decimal path: align scales
+    ls, rs = _scale_of(l.dtype), _scale_of(r.dtype)
+    s = max(ls, rs)
+    lv = D.rescale(l.values.astype(jnp.int64), ls, s)
+    rv = D.rescale(r.values.astype(jnp.int64), rs, s)
+    return DCol(T.BOOLEAN, PLAIN, _int_cmp(expr.op, lv, rv), validity=valid)
+
+
+def _int_cmp(op: str, a, b):
+    if op == "=":
+        return a == b
+    if op == "<>":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    raise ValueError(op)
+
+
+def _cmp_str(op: str, a: str, b: str) -> bool:
+    if op == "=":
+        return a == b
+    if op == "<>":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    raise ValueError(op)
+
+
+def eval_predicate(expr: ir.Expr, chunk: Chunk) -> jnp.ndarray:
+    """Filter semantics: null predicate → row dropped."""
+    c = eval_expr(expr, chunk)
+    return c.values.astype(jnp.bool_) & c.valid_or_true()

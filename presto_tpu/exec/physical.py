@@ -1,0 +1,544 @@
+"""Physical operators: a query plan fragment → fused XLA programs.
+
+The TPU redesign of the reference's operator/driver engine
+(``operator/Operator.java:21``, ``operator/Driver.java:270``): there is no
+per-page pull loop on device — each physical operator contributes a pure
+traced function over whole Chunks, jit-compiled per (operator, input
+layout).  Selection is a row mask; data-dependent output sizes (join
+fan-out, group counts) are resolved at host stage boundaries by reading one
+scalar and bucket-padding to a power of two — the shape-bucketing answer to
+the reference's adaptive batching (``operator/project/PageProcessor.java:268``).
+
+Operators implemented here ↔ reference:
+- PhysScan            ← TableScanOperator + TPC-H connector page source
+- PhysFilter/Project  ← FilterAndProjectOperator + compiled PageProcessor
+- PhysHashAggregate   ← HashAggregationOperator + InMemoryHashAggregationBuilder
+- PhysHashJoin        ← HashBuilderOperator + LookupJoinOperator (+ semi/anti:
+                        HashSemiJoinOperator/SetBuilderOperator)
+- PhysSort/Limit      ← OrderByOperator (PagesIndex.sort) / TopN / Limit
+- PhysScalarBind      ← uncorrelated scalar subquery (EnforceSingleRow + join)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import types as T
+from ..data.column import PLAIN, DICT, BYTES
+from ..ops import agg as A
+from ..ops import hashtable as HT
+from ..ops import sort as SORT
+from ..ops import decimal as DEC
+from ..sql import ir
+from .columns import Chunk, DCol, from_host, to_host
+from .expreval import eval_expr, eval_predicate, _scale_of
+
+
+# ---------------------------------------------------------------- plan nodes
+
+@dataclass
+class PhysOp:
+    def children(self) -> Sequence["PhysOp"]:
+        return ()
+
+
+@dataclass
+class PhysScan(PhysOp):
+    table: str
+    columns: Tuple[str, ...]
+    alias_prefix: str = ""  # rename columns on scan (self-join disambiguation)
+
+
+@dataclass
+class PhysFilter(PhysOp):
+    child: PhysOp
+    predicate: ir.Expr
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclass
+class PhysProject(PhysOp):
+    child: PhysOp
+    projections: Tuple[Tuple[str, ir.Expr], ...]  # output = exactly these
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    name: str
+    func: str                       # sum|count|count_star|min|max|avg
+    arg: Optional[ir.Expr] = None
+    distinct: bool = False
+
+
+@dataclass
+class PhysHashAggregate(PhysOp):
+    child: PhysOp
+    groups: Tuple[Tuple[str, ir.Expr], ...]
+    aggs: Tuple[AggSpec, ...]
+    ndv_hint: int = 1024
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclass
+class PhysHashJoin(PhysOp):
+    probe: PhysOp
+    build: PhysOp
+    probe_keys: Tuple[ir.Expr, ...]
+    build_keys: Tuple[ir.Expr, ...]
+    kind: str = "inner"             # inner | left | semi | anti
+    unique_build: bool = True       # build keys unique (PK side)
+    build_payload: Tuple[Tuple[str, str], ...] = ()  # (out_name, build_col)
+    filter: Optional[ir.Expr] = None  # non-equi residual over probe+payload
+
+    def children(self):
+        return (self.probe, self.build)
+
+
+@dataclass
+class PhysSort(PhysOp):
+    child: PhysOp
+    keys: Tuple[Tuple[ir.Expr, bool], ...]  # (expr, descending)
+    limit: Optional[int] = None
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclass
+class PhysLimit(PhysOp):
+    child: PhysOp
+    n: int
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclass
+class PhysScalarBind(PhysOp):
+    """Bind single-row subplan results as broadcast columns of the child."""
+
+    child: PhysOp
+    bindings: Tuple[Tuple[str, "PhysOp"], ...]
+
+    def children(self):
+        return (self.child,) + tuple(p for _, p in self.bindings)
+
+
+# ---------------------------------------------------------------- jitted cores
+
+@partial(jax.jit, static_argnames=("expr",))
+def _filter_kernel(chunk: Chunk, expr: ir.Expr) -> jnp.ndarray:
+    return eval_predicate(expr, chunk) & chunk.mask
+
+
+@partial(jax.jit, static_argnames=("projections",))
+def _project_kernel(chunk: Chunk, projections) -> Chunk:
+    cols = {name: eval_expr(e, chunk) for name, e in projections}
+    return Chunk(cols, chunk.mask)
+
+
+@partial(jax.jit, static_argnames=("bucket",))
+def _compact_kernel(chunk: Chunk, bucket: int) -> Chunk:
+    """Gather masked-in rows to the front and truncate to ``bucket`` rows."""
+    perm = jnp.argsort(~chunk.mask, stable=True)[:bucket]
+    cols = {n: c.take(perm) for n, c in chunk.cols.items()}
+    return Chunk(cols, chunk.mask[perm])
+
+
+def _key_arrays(chunk: Chunk, exprs: Sequence[ir.Expr]) -> List[jnp.ndarray]:
+    """Normalize key expressions into int64 arrays for hashing/sorting."""
+    out: List[jnp.ndarray] = []
+    for e in exprs:
+        c = eval_expr(e, chunk)
+        if c.kind == BYTES:
+            out.extend(SORT.bytes_sort_keys(c.values, c.lengths))
+        else:
+            out.append(c.values.astype(jnp.int64))
+    return out
+
+
+@partial(jax.jit, static_argnames=("exprs", "capacity"))
+def _insert_kernel(chunk: Chunk, exprs, capacity: int):
+    keys = _key_arrays(chunk, exprs)
+    return HT.insert(keys, chunk.mask, capacity)
+
+
+@partial(jax.jit, static_argnames=("exprs", "capacity"))
+def _build_kernel(chunk: Chunk, exprs, capacity: int):
+    keys = _key_arrays(chunk, exprs)
+    return HT.build(keys, chunk.mask, capacity)
+
+
+@partial(jax.jit, static_argnames=("exprs",))
+def _probe_counts_kernel(table: HT.HashTable, chunk: Chunk, exprs):
+    keys = _key_arrays(chunk, exprs)
+    return HT.probe_counts(table, keys, chunk.mask)
+
+
+@partial(jax.jit, static_argnames=("exprs",))
+def _probe_unique_kernel(table: HT.HashTable, chunk: Chunk, exprs):
+    keys = _key_arrays(chunk, exprs)
+    return HT.probe_unique(table, keys, chunk.mask)
+
+
+# ---------------------------------------------------------------- executor
+
+@dataclass
+class ExecContext:
+    datasource: object                      # DataSource
+    compact_threshold: float = 0.25         # compact when selectivity below
+    min_rows_for_compaction: int = 1 << 14
+    stats: Dict[str, float] = field(default_factory=dict)
+
+
+def execute(plan: PhysOp, ctx: ExecContext) -> Chunk:
+    if isinstance(plan, PhysScan):
+        return ctx.datasource.scan(plan.table, plan.columns, plan.alias_prefix)
+    if isinstance(plan, PhysFilter):
+        child = execute(plan.child, ctx)
+        mask = _filter_kernel(child, plan.predicate)
+        return _maybe_compact(Chunk(child.cols, mask), ctx)
+    if isinstance(plan, PhysProject):
+        child = execute(plan.child, ctx)
+        return _project_kernel(child, plan.projections)
+    if isinstance(plan, PhysHashAggregate):
+        return _exec_agg(plan, ctx)
+    if isinstance(plan, PhysHashJoin):
+        return _exec_join(plan, ctx)
+    if isinstance(plan, PhysSort):
+        return _exec_sort(plan, ctx)
+    if isinstance(plan, PhysLimit):
+        child = execute(plan.child, ctx)
+        return _exec_limit(child, plan.n)
+    if isinstance(plan, PhysScalarBind):
+        return _exec_scalar_bind(plan, ctx)
+    raise NotImplementedError(type(plan).__name__)
+
+
+def _maybe_compact(chunk: Chunk, ctx: ExecContext) -> Chunk:
+    n = chunk.n_rows
+    if n < ctx.min_rows_for_compaction:
+        return chunk
+    count = int(jnp.sum(chunk.mask))  # host sync at stage boundary
+    if count > n * ctx.compact_threshold:
+        return chunk
+    bucket = max(HT.next_pow2(max(count, 1)), 1 << 10)
+    if bucket >= n:
+        return chunk
+    return _compact_kernel(chunk, bucket)
+
+
+def _exec_limit(child: Chunk, n: int) -> Chunk:
+    # rows must be mask-compacted in order for a static slice to be correct;
+    # limit after sort satisfies this (sort moves valid rows to the front).
+    if n >= child.n_rows:
+        return child
+    cols = {name: DCol(c.dtype, c.kind, c.values[:n],
+                       None if c.lengths is None else c.lengths[:n],
+                       None if c.validity is None else c.validity[:n],
+                       c.dictionary)
+            for name, c in child.cols.items()}
+    return Chunk(cols, child.mask[:n])
+
+
+def _exec_sort(plan: PhysSort, ctx: ExecContext) -> Chunk:
+    child = execute(plan.child, ctx)
+
+    @partial(jax.jit, static_argnames=("keys",))
+    def kernel(chunk: Chunk, keys) -> Chunk:
+        karrs: List[Tuple[jnp.ndarray, bool]] = []
+        for e, desc in keys:
+            c = eval_expr(e, chunk)
+            if c.kind == BYTES:
+                for p in SORT.bytes_sort_keys(c.values, c.lengths):
+                    karrs.append((p, desc))
+            elif c.kind == DICT:
+                # order by string value: host-computed rank of each code
+                rank = np.argsort(np.argsort(
+                    [str(s) for s in c.dictionary.strings]))
+                karrs.append((jnp.asarray(rank)[c.values], desc))
+            else:
+                karrs.append((c.values, desc))
+        perm = SORT.argsort_multi(karrs, chunk.mask)
+        cols = {n: c.take(perm) for n, c in chunk.cols.items()}
+        return Chunk(cols, chunk.mask[perm])
+
+    out = kernel(child, plan.keys)
+    if plan.limit is not None:
+        out = _exec_limit(out, plan.limit)
+    return out
+
+
+def _exec_scalar_bind(plan: PhysScalarBind, ctx: ExecContext) -> Chunk:
+    child = execute(plan.child, ctx)
+    n = child.n_rows
+    cols = dict(child.cols)
+    for name, sub in plan.bindings:
+        sc = execute(sub, ctx)
+        sel = np.nonzero(np.asarray(sc.mask))[0]
+        assert len(sc.cols) == 1, "scalar subquery must have one column"
+        (cname, c), = sc.cols.items()
+        if len(sel) == 0:
+            cols[name] = DCol(c.dtype, PLAIN, jnp.zeros((n,), jnp.int64),
+                              validity=jnp.zeros((n,), jnp.bool_))
+        else:
+            assert len(sel) == 1, "scalar subquery returned >1 row"
+            v = np.asarray(c.values)[sel[0]]
+            cols[name] = DCol(c.dtype, PLAIN,
+                              jnp.full((n,), int(v), jnp.int64))
+    return Chunk(cols, child.mask)
+
+
+# ---------------------------------------------------------------- aggregation
+
+_SUM_LIKE = {"sum", "avg"}
+
+
+def _agg_output_type(spec: AggSpec) -> T.DataType:
+    if spec.func in ("count", "count_star"):
+        return T.BIGINT
+    at = spec.arg.dtype
+    if spec.func == "sum":
+        return T.decimal(38, _scale_of(at)) if T.is_decimal(at) else T.BIGINT
+    if spec.func == "avg":
+        return at if T.is_decimal(at) else T.DOUBLE
+    return at  # min/max
+
+
+def _exec_agg(plan: PhysHashAggregate, ctx: ExecContext) -> Chunk:
+    child = execute(plan.child, ctx)
+    if not plan.groups:
+        return _exec_global_agg(plan, child)
+
+    group_exprs = tuple(e for _, e in plan.groups)
+    capacity = max(64, HT.capacity_for(plan.ndv_hint))
+    while True:
+        owner, slot, overflow = _insert_kernel(child, group_exprs, capacity)
+        if not bool(overflow):
+            break
+        capacity *= 2
+
+    @partial(jax.jit, static_argnames=("groups", "aggs", "capacity"))
+    def finish(chunk: Chunk, owner, slot, groups, aggs, capacity):
+        gvalid = owner != HT.EMPTY
+        rep = jnp.minimum(owner, chunk.n_rows - 1)
+        out: Dict[str, DCol] = {}
+        for name, e in groups:
+            c = eval_expr(e, chunk)
+            out[name] = c.take(rep, valid=gvalid)
+        for spec in aggs:
+            if spec.distinct:
+                continue  # handled outside (extra insert pass)
+            out[spec.name] = _agg_col(spec, chunk, slot, capacity, gvalid)
+        return Chunk(out, gvalid)
+
+    out = finish(child, owner, slot, plan.groups, plan.aggs, capacity)
+
+    distinct_specs = [s for s in plan.aggs if s.distinct]
+    if distinct_specs:
+        out_cols = dict(out.cols)
+        for spec in distinct_specs:
+            out_cols[spec.name] = _agg_distinct(
+                spec, child, slot, capacity, out.mask, group_exprs)
+        out = Chunk(out_cols, out.mask)
+    return _maybe_compact(out, ctx)
+
+
+def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
+    mask = chunk.mask & (slot >= 0)
+    if spec.func == "count_star":
+        return DCol(T.BIGINT, PLAIN, A.seg_count(slot, mask, capacity),
+                    validity=gvalid)
+    c = eval_expr(spec.arg, chunk)
+    vmask = mask & c.valid_or_true()
+    vals = c.values
+    ot = _agg_output_type(spec)
+    if spec.func == "count":
+        return DCol(T.BIGINT, PLAIN, A.seg_count(slot, vmask, capacity),
+                    validity=gvalid)
+    if spec.func == "sum":
+        s = A.seg_sum(vals, slot, vmask, capacity, jnp.int64)
+        nonempty = A.seg_count(slot, vmask, capacity) > 0
+        return DCol(ot, PLAIN, s, validity=gvalid & nonempty)
+    if spec.func == "avg":
+        s = A.seg_sum(vals, slot, vmask, capacity, jnp.int64)
+        cnt = A.seg_count(slot, vmask, capacity)
+        if T.is_decimal(c.dtype):
+            v = DEC.div_round_half_up(s, jnp.maximum(cnt, 1))
+        else:
+            v = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
+        return DCol(ot, PLAIN, v, validity=gvalid & (cnt > 0))
+    if spec.func == "min":
+        v = A.seg_min(vals, slot, vmask, capacity)
+    elif spec.func == "max":
+        v = A.seg_max(vals, slot, vmask, capacity)
+    else:
+        raise NotImplementedError(spec.func)
+    nonempty = A.seg_count(slot, vmask, capacity) > 0
+    return DCol(ot, c.kind, v, validity=gvalid & nonempty,
+                dictionary=c.dictionary) if c.kind == DICT else DCol(
+                    ot, PLAIN, v, validity=gvalid & nonempty)
+
+
+def _agg_distinct(spec: AggSpec, chunk: Chunk, slot, capacity,
+                  gvalid, group_exprs) -> DCol:
+    """count(distinct x): second dedup pass over (group, x) pairs."""
+    assert spec.func == "count", "only count(distinct) supported"
+    c = eval_expr(spec.arg, chunk)
+    pair_mask = chunk.mask & (slot >= 0) & c.valid_or_true()
+    pair_cap = capacity
+    while True:
+        pkeys = [slot.astype(jnp.int64), c.values.astype(jnp.int64)]
+        owner2, _, overflow = HT.insert(pkeys, pair_mask, pair_cap)
+        if not bool(overflow):
+            break
+        pair_cap *= 2
+    rep = jnp.minimum(owner2, chunk.n_rows - 1)
+    rep_valid = owner2 != HT.EMPTY
+    rep_group = jnp.where(rep_valid, slot[rep], -1)
+    cnt = A.seg_count(rep_group, rep_valid, capacity)
+    return DCol(T.BIGINT, PLAIN, cnt, validity=gvalid)
+
+
+def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
+    @partial(jax.jit, static_argnames=("aggs",))
+    def kernel(chunk: Chunk, aggs) -> Chunk:
+        out: Dict[str, DCol] = {}
+        for spec in aggs:
+            if spec.func == "count_star":
+                v = A.g_count(chunk.mask)
+                out[spec.name] = DCol(T.BIGINT, PLAIN, v[None])
+                continue
+            c = eval_expr(spec.arg, chunk)
+            m = chunk.mask & c.valid_or_true()
+            ot = _agg_output_type(spec)
+            nonempty = A.g_count(m) > 0
+            if spec.func == "count":
+                out[spec.name] = DCol(T.BIGINT, PLAIN, A.g_count(m)[None])
+            elif spec.func == "sum":
+                out[spec.name] = DCol(ot, PLAIN, A.g_sum(c.values, m, jnp.int64)[None],
+                                      validity=nonempty[None])
+            elif spec.func == "avg":
+                s = A.g_sum(c.values, m, jnp.int64)
+                cnt = jnp.maximum(A.g_count(m), 1)
+                if T.is_decimal(c.dtype):
+                    v = DEC.div_round_half_up(s[None], cnt)
+                else:
+                    v = (s.astype(jnp.float64) / cnt)[None]
+                out[spec.name] = DCol(ot, PLAIN, v, validity=nonempty[None])
+            elif spec.func == "min":
+                out[spec.name] = DCol(ot, PLAIN, A.g_min(c.values, m)[None],
+                                      validity=nonempty[None])
+            elif spec.func == "max":
+                out[spec.name] = DCol(ot, PLAIN, A.g_max(c.values, m)[None],
+                                      validity=nonempty[None])
+            else:
+                raise NotImplementedError(spec.func)
+        return Chunk(out, jnp.ones((1,), jnp.bool_))
+
+    assert not any(s.distinct for s in plan.aggs), "global distinct TODO"
+    return kernel(child, plan.aggs)
+
+
+# ---------------------------------------------------------------- joins
+
+def _exec_join(plan: PhysHashJoin, ctx: ExecContext) -> Chunk:
+    build = execute(plan.build, ctx)
+    probe = execute(plan.probe, ctx)
+    build_count = int(jnp.sum(build.mask))
+    capacity = HT.capacity_for(max(build_count, 1))
+    table = _build_kernel(build, plan.build_keys, capacity)
+
+    fast_unique = plan.unique_build and plan.filter is None
+    if fast_unique and plan.kind in ("inner", "left", "semi", "anti"):
+        return _join_unique(plan, probe, build, table, ctx)
+    return _join_expand(plan, probe, build, table, ctx)
+
+
+@partial(jax.jit, static_argnames=("probe_keys", "payload", "kind"))
+def _join_unique_kernel(table, probe: Chunk, build: Chunk,
+                        probe_keys, payload, kind) -> Chunk:
+    match = _probe_unique_kernel(table, probe, probe_keys)
+    found = match >= 0
+    if kind == "semi":
+        return Chunk(dict(probe.cols), probe.mask & found)
+    if kind == "anti":
+        return Chunk(dict(probe.cols), probe.mask & ~found)
+    cols = dict(probe.cols)
+    for out_name, bcol in payload:
+        cols[out_name] = build.cols[bcol].take(match, valid=found)
+    mask = probe.mask & found if kind == "inner" else probe.mask
+    return Chunk(cols, mask)
+
+
+def _join_unique(plan, probe, build, table, ctx) -> Chunk:
+    out = _join_unique_kernel(table, probe, build, plan.probe_keys,
+                              plan.build_payload, plan.kind)
+    return _maybe_compact(out, ctx)
+
+
+def _join_expand(plan: PhysHashJoin, probe: Chunk, build: Chunk,
+                 table, ctx: ExecContext) -> Chunk:
+    slot, cnt = _probe_counts_kernel(table, probe, plan.probe_keys)
+    left_like = plan.kind in ("left", "semi", "anti")
+    # semi/anti with a residual filter expand too (then reduce per probe row)
+    if plan.kind in ("semi", "anti") and plan.filter is None:
+        found = slot >= 0
+        mask = probe.mask & (found if plan.kind == "semi" else ~found)
+        return _maybe_compact(Chunk(dict(probe.cols), mask), ctx)
+
+    eff = jnp.where(probe.mask & (cnt == 0), 1, cnt) if left_like else cnt
+    total = int(jnp.sum(jnp.where(probe.mask, eff, 0)))
+    out_size = max(HT.next_pow2(max(total, 1)), 64)
+    probe_row, build_row, valid, matched = HT.expand_matches(
+        table, slot, jnp.where(probe.mask, cnt, 0), out_size,
+        left=left_like, probe_mask=probe.mask)
+
+    @partial(jax.jit, static_argnames=("payload",))
+    def gather(probe: Chunk, build: Chunk, probe_row, build_row, valid,
+               matched, payload) -> Chunk:
+        cols = {n: c.take(probe_row, valid=valid)
+                for n, c in probe.cols.items()}
+        for out_name, bcol in payload:
+            cols[out_name] = build.cols[bcol].take(build_row, valid=matched)
+        return Chunk(cols, valid)
+
+    pairs = gather(probe, build, probe_row, build_row, valid, matched,
+                   plan.build_payload)
+    pair_mask = pairs.mask
+    if plan.filter is not None:
+        fm = _filter_kernel(pairs, plan.filter)
+        keep_pair = fm & matched
+    else:
+        keep_pair = pair_mask & matched
+
+    if plan.kind in ("semi", "anti"):
+        n_probe = probe.n_rows
+        hit = jnp.zeros((n_probe,), jnp.bool_).at[
+            jnp.where(keep_pair, probe_row, n_probe)].max(True, mode="drop")
+        mask = probe.mask & (hit if plan.kind == "semi" else ~hit)
+        return _maybe_compact(Chunk(dict(probe.cols), mask), ctx)
+
+    if plan.kind == "left":
+        # matched rows failing the filter are dropped; unmatched filler kept
+        mask = (keep_pair | (pair_mask & ~matched))
+        # note: filter dropping ALL matches of a probe row should produce a
+        # null row per outer semantics; the planner only emits filtered left
+        # joins where the filter references build columns as null-rejecting,
+        # so this matches (documented limitation, as in early Trino).
+        return _maybe_compact(Chunk(pairs.cols, mask), ctx)
+
+    return _maybe_compact(Chunk(pairs.cols, keep_pair), ctx)

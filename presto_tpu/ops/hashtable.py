@@ -58,9 +58,12 @@ def _keys_equal(keys: Sequence[jnp.ndarray], rows_a, rows_b):
 def insert(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int):
     """Assign one slot per distinct key.
 
-    Returns (owner[capacity], slot_of_row[N]): ``owner[s]`` is the lowest
-    row id holding slot ``s``'s key (EMPTY if unused); ``slot_of_row[i]`` is
-    the slot of row i's key (-1 for masked-out rows).
+    Returns (owner[capacity], slot_of_row[N], overflow): ``owner[s]`` is the
+    lowest row id holding slot ``s``'s key (EMPTY if unused);
+    ``slot_of_row[i]`` is the slot of row i's key (-1 for masked-out rows).
+    ``overflow`` (bool scalar) is set when the table filled before all rows
+    settled — the caller retries with doubled capacity (the shape-bucketing
+    answer to ``MultiChannelGroupByHash.java:364`` rehash()).
     """
     n = keys[0].shape[0]
     cap_mask = jnp.uint32(capacity - 1)
@@ -71,13 +74,14 @@ def insert(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int):
     slot0 = h
     assigned0 = jnp.full((n,), -1, dtype=jnp.int32)
     pending0 = mask
+    max_rounds = jnp.int32(capacity + 1)
 
     def cond(state):
-        _, _, _, pending = state
-        return pending.any()
+        _, _, _, pending, rounds = state
+        return pending.any() & (rounds < max_rounds)
 
     def body(state):
-        owner, assigned, slot, pending = state
+        owner, assigned, slot, pending, rounds = state
         # Only rows at a currently-empty slot race to claim it (a claimed
         # slot must never be re-claimed by a lower row id of another key).
         racing = pending & (owner[slot] == EMPTY)
@@ -91,11 +95,11 @@ def insert(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int):
         assigned = jnp.where(settled, slot, assigned)
         pending = pending & ~settled
         slot = jnp.where(pending, (slot + 1) & jnp.int32(capacity - 1), slot)
-        return owner, assigned, slot, pending
+        return owner, assigned, slot, pending, rounds + 1
 
-    owner, assigned, _, _ = jax.lax.while_loop(
-        cond, body, (owner0, assigned0, slot0, pending0))
-    return owner, assigned
+    owner, assigned, _, pending, _ = jax.lax.while_loop(
+        cond, body, (owner0, assigned0, slot0, pending0, jnp.int32(0)))
+    return owner, assigned, pending.any()
 
 
 def lookup(table_owner: jnp.ndarray, build_keys: Sequence[jnp.ndarray],
@@ -108,13 +112,14 @@ def lookup(table_owner: jnp.ndarray, build_keys: Sequence[jnp.ndarray],
     capacity = table_owner.shape[0]
     n_build = build_keys[0].shape[0]
     h = (hash_keys(probe_keys) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+    max_rounds = jnp.int32(capacity + 1)  # full sweep ⇒ key definitely absent
 
     def cond(state):
-        _, _, pending = state
-        return pending.any()
+        _, _, pending, rounds = state
+        return pending.any() & (rounds < max_rounds)
 
     def body(state):
-        slot, result, pending = state
+        slot, result, pending, rounds = state
         occ = table_owner[slot]
         empty = occ == EMPTY
         occ_c = jnp.minimum(occ, n_build - 1)
@@ -126,10 +131,10 @@ def lookup(table_owner: jnp.ndarray, build_keys: Sequence[jnp.ndarray],
         result = jnp.where(found, slot, result)
         pending = pending & ~found & ~missing
         slot = jnp.where(pending, (slot + 1) & jnp.int32(capacity - 1), slot)
-        return slot, result, pending
+        return slot, result, pending, rounds + 1
 
-    _, result, _ = jax.lax.while_loop(
-        cond, body, (h, jnp.full_like(h, -1), probe_mask))
+    _, result, _, _ = jax.lax.while_loop(
+        cond, body, (h, jnp.full_like(h, -1), probe_mask, jnp.int32(0)))
     return result
 
 
@@ -140,7 +145,7 @@ def build(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int) -> Hash
     one segment count, one stable argsort.
     """
     n = keys[0].shape[0]
-    owner, slot_of_row = insert(keys, mask, capacity)
+    owner, slot_of_row, _ = insert(keys, mask, capacity)
     slot_cl = jnp.where(slot_of_row >= 0, slot_of_row, capacity)
     counts = jnp.zeros((capacity,), jnp.int32).at[slot_cl].add(
         jnp.int32(1), mode="drop")
@@ -172,19 +177,28 @@ def probe_counts(table: HashTable, probe_keys: Sequence[jnp.ndarray],
     return slot, cnt.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("out_size",))
+@partial(jax.jit, static_argnames=("out_size", "left"))
 def expand_matches(table: HashTable, slot: jnp.ndarray, cnt: jnp.ndarray,
-                   out_size: int):
+                   out_size: int, left: bool = False,
+                   probe_mask: jnp.ndarray = None):
     """Second pass of an expanding join: materialize (probe_row, build_row)
     pairs into a padded [out_size] buffer.
 
-    ``out_size`` must be >= cnt.sum() (host reads the count between passes —
-    the stage boundary where the reference pages output, we bucket-pad).
-    Returns (probe_row[out_size], build_row[out_size], valid[out_size]).
+    ``out_size`` must be >= the effective pair count (host reads the count
+    between passes — where the reference pages join output we bucket-pad).
+    With ``left=True``, unmatched (but masked-in) probe rows emit one filler
+    pair with ``matched=False`` (FULL/PROBE_OUTER semantics of
+    ``operator/join/LookupJoinOperatorFactory.java:52``).
+    Returns (probe_row, build_row, valid, matched), all [out_size].
     """
-    ends = jnp.cumsum(cnt)
-    starts = ends - cnt
-    total = ends[-1] if cnt.shape[0] else jnp.int32(0)
+    if left:
+        assert probe_mask is not None
+        cnt_eff = jnp.where(probe_mask & (cnt == 0), 1, cnt)
+    else:
+        cnt_eff = cnt
+    ends = jnp.cumsum(cnt_eff)
+    starts = ends - cnt_eff
+    total = ends[-1] if cnt_eff.shape[0] else jnp.int32(0)
     j = jnp.arange(out_size, dtype=ends.dtype)
     probe_row = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
     probe_cl = jnp.minimum(probe_row, cnt.shape[0] - 1)
@@ -194,9 +208,10 @@ def expand_matches(table: HashTable, slot: jnp.ndarray, cnt: jnp.ndarray,
         jnp.minimum(table.offsets[s] + k.astype(jnp.int32),
                     table.rows_csr.shape[0] - 1)]
     valid = j < total
+    matched = valid & (cnt[probe_cl] > 0)
     return (jnp.where(valid, probe_cl, 0),
-            jnp.where(valid, build_row, 0),
-            valid)
+            jnp.where(matched, build_row, 0),
+            valid, matched)
 
 
 def next_pow2(n: int) -> int:

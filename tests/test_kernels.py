@@ -20,7 +20,7 @@ class TestHashTable:
         keys = r.integers(0, 50, size=1000).astype(np.int64)
         mask = np.ones(1000, bool)
         cap = ht.capacity_for(50)
-        owner, slot = ht.insert([jnp.asarray(keys)], jnp.asarray(mask), cap)
+        owner, slot, _ = ht.insert([jnp.asarray(keys)], jnp.asarray(mask), cap)
         slot = np.asarray(slot)
         # same key -> same slot; different keys -> different slots
         for k in np.unique(keys):
@@ -36,7 +36,7 @@ class TestHashTable:
         k2 = r.integers(0, 7, size=500).astype(np.int64)
         mask = r.random(500) < 0.7
         cap = ht.capacity_for(70)
-        owner, slot = ht.insert([jnp.asarray(k1), jnp.asarray(k2)], jnp.asarray(mask), cap)
+        owner, slot, _ = ht.insert([jnp.asarray(k1), jnp.asarray(k2)], jnp.asarray(mask), cap)
         slot = np.asarray(slot)
         assert (slot[~mask] == -1).all()
         assert (slot[mask] >= 0).all()
@@ -69,7 +69,7 @@ class TestHashTable:
         assert np.array_equal(cnt_np, expect_cnt)
         total = int(cnt_np.sum())
         out_size = max(8, total + 5)
-        pi, bi, valid = ht.expand_matches(table, slot, cnt, out_size)
+        pi, bi, valid, matched = ht.expand_matches(table, slot, cnt, out_size)
         pi, bi, valid = map(np.asarray, (pi, bi, valid))
         assert valid.sum() == total
         got = sorted(zip(pi[valid].tolist(), probe[pi[valid]].tolist(),
