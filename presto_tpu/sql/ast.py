@@ -1,0 +1,190 @@
+"""Raw (untyped) SQL AST.
+
+The analogue of the reference's parse tree (``core/trino-parser/.../sql/tree/``,
+223 node classes) reduced to the analytic-SQL subset the engine executes:
+SELECT-FROM-WHERE-GROUP-HAVING-ORDER-LIMIT, explicit/implicit joins, derived
+tables, WITH, scalar/IN/EXISTS subqueries, CASE, BETWEEN, LIKE, IN,
+EXTRACT, SUBSTRING, date/interval literals.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+# --- expressions ---
+
+class Node:
+    pass
+
+
+@dataclass
+class Ident(Node):
+    parts: Tuple[str, ...]          # possibly qualified: ("l", "shipdate")
+
+
+@dataclass
+class NumberLit(Node):
+    text: str                        # preserve text: decimal scale matters
+
+
+@dataclass
+class StringLit(Node):
+    value: str
+
+
+@dataclass
+class DateLit(Node):
+    value: str                       # ISO yyyy-mm-dd
+
+
+@dataclass
+class IntervalLit(Node):
+    value: int
+    unit: str                        # day | month | year
+
+
+@dataclass
+class Star(Node):
+    pass
+
+
+@dataclass
+class FuncCall(Node):
+    name: str
+    args: List[Node]
+    distinct: bool = False
+
+
+@dataclass
+class BinaryOp(Node):
+    op: str                          # + - * / and or = <> < <= > >= ||
+    left: Node
+    right: Node
+
+
+@dataclass
+class UnaryOp(Node):
+    op: str                          # - not
+    arg: Node
+
+
+@dataclass
+class CaseExpr(Node):
+    whens: List[Tuple[Node, Node]]
+    default: Optional[Node]
+
+
+@dataclass
+class BetweenExpr(Node):
+    arg: Node
+    lo: Node
+    hi: Node
+    negated: bool = False
+
+
+@dataclass
+class InListExpr(Node):
+    arg: Node
+    values: List[Node]
+    negated: bool = False
+
+
+@dataclass
+class InSubquery(Node):
+    arg: Node
+    query: "Select"
+    negated: bool = False
+
+
+@dataclass
+class ExistsExpr(Node):
+    query: "Select"
+    negated: bool = False
+
+
+@dataclass
+class ScalarSubquery(Node):
+    query: "Select"
+
+
+@dataclass
+class LikeExpr(Node):
+    arg: Node
+    pattern: str
+    negated: bool = False
+
+
+@dataclass
+class ExtractExpr(Node):
+    what: str                        # year | month | day
+    arg: Node
+
+
+@dataclass
+class SubstringExpr(Node):
+    arg: Node
+    start: Node
+    length: Optional[Node]
+
+
+@dataclass
+class CastExpr(Node):
+    arg: Node
+    type_name: str                   # e.g. "decimal(12,2)", "double"
+
+
+@dataclass
+class IsNullExpr(Node):
+    arg: Node
+    negated: bool = False
+
+
+# --- relations ---
+
+@dataclass
+class TableRef(Node):
+    catalog_parts: Tuple[str, ...]   # last element is the table name
+    alias: Optional[str] = None
+
+
+@dataclass
+class SubqueryRef(Node):
+    query: "Select"
+    alias: str
+
+
+@dataclass
+class JoinRef(Node):
+    left: Node
+    right: Node
+    kind: str                        # inner | left | right | cross
+    on: Optional[Node]
+
+
+# --- query ---
+
+@dataclass
+class SelectItem(Node):
+    expr: Node
+    alias: Optional[str] = None
+
+
+@dataclass
+class OrderItem(Node):
+    expr: Node
+    descending: bool = False
+
+
+@dataclass
+class Select(Node):
+    items: List[SelectItem]
+    from_: List[Node]                # TableRef | SubqueryRef | JoinRef
+    where: Optional[Node] = None
+    group_by: List[Node] = field(default_factory=list)
+    having: Optional[Node] = None
+    order_by: List[OrderItem] = field(default_factory=list)
+    limit: Optional[int] = None
+    distinct: bool = False
+    with_ctes: List[Tuple[str, "Select"]] = field(default_factory=list)

@@ -1,0 +1,447 @@
+"""SQL lexer + recursive-descent parser for the analytic subset.
+
+The reference parses with an ANTLR grammar
+(``core/trino-parser/src/main/antlr4/io/trino/sql/parser/SqlBase.g4``); this
+hand-written recursive-descent/precedence-climbing parser covers the subset
+the engine executes (full TPC-H + general SELECT analytics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from . import ast
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+  | (?P<number>(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)
+  | (?P<qident>"[^"]*")
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<name>[A-Za-z_][A-Za-z0-9_$]*)
+  | (?P<op><>|!=|>=|<=|\|\||[-+*/(),.;=<>])
+""", re.X | re.S)
+
+KEYWORDS = {
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "as", "and", "or", "not", "in", "exists", "between", "like", "is",
+    "null", "case", "when", "then", "else", "end", "cast", "date",
+    "interval", "extract", "substring", "distinct", "asc", "desc", "join",
+    "inner", "left", "right", "outer", "cross", "on", "with", "for", "union",
+    "all", "year", "month", "day", "true", "false",
+}
+
+
+class Token:
+    __slots__ = ("kind", "value", "pos")
+
+    def __init__(self, kind, value, pos):
+        self.kind = kind          # number|string|name|kw|op|qident
+        self.value = value
+        self.pos = pos
+
+    def __repr__(self):
+        return f"{self.kind}:{self.value}"
+
+
+def tokenize(sql: str) -> List[Token]:
+    out = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise SyntaxError(f"cannot tokenize at {sql[pos:pos+30]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        text = m.group()
+        if m.lastgroup == "name":
+            low = text.lower()
+            out.append(Token("kw" if low in KEYWORDS else "name", low, m.start()))
+        elif m.lastgroup == "qident":
+            out.append(Token("name", text[1:-1], m.start()))
+        elif m.lastgroup == "string":
+            out.append(Token("string", text[1:-1].replace("''", "'"), m.start()))
+        elif m.lastgroup == "number":
+            out.append(Token("number", text, m.start()))
+        else:
+            out.append(Token("op", text, m.start()))
+    out.append(Token("eof", "", len(sql)))
+    return out
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # --- token helpers ---
+
+    def peek(self, k=0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind, value=None) -> Optional[Token]:
+        t = self.peek()
+        if t.kind == kind and (value is None or t.value == value):
+            return self.next()
+        return None
+
+    def expect(self, kind, value=None) -> Token:
+        t = self.accept(kind, value)
+        if t is None:
+            raise SyntaxError(
+                f"expected {value or kind}, got {self.peek()!r} at "
+                f"pos {self.peek().pos}")
+        return t
+
+    def at_kw(self, *kws) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.value in kws
+
+    # --- entry ---
+
+    def parse(self) -> ast.Select:
+        sel = self.parse_select()
+        self.accept("op", ";")
+        self.expect("eof")
+        return sel
+
+    def parse_select(self) -> ast.Select:
+        ctes: List[Tuple[str, ast.Select]] = []
+        if self.accept("kw", "with"):
+            while True:
+                name = self.expect("name").value
+                self.expect("kw", "as")
+                self.expect("op", "(")
+                q = self.parse_select()
+                self.expect("op", ")")
+                ctes.append((name, q))
+                if not self.accept("op", ","):
+                    break
+        self.expect("kw", "select")
+        distinct = bool(self.accept("kw", "distinct"))
+        self.accept("kw", "all")
+        items = [self.parse_select_item()]
+        while self.accept("op", ","):
+            items.append(self.parse_select_item())
+        from_: List[ast.Node] = []
+        if self.accept("kw", "from"):
+            from_.append(self.parse_relation())
+            while self.accept("op", ","):
+                from_.append(self.parse_relation())
+        where = self.parse_expr() if self.accept("kw", "where") else None
+        group_by: List[ast.Node] = []
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            group_by.append(self.parse_expr())
+            while self.accept("op", ","):
+                group_by.append(self.parse_expr())
+        having = self.parse_expr() if self.accept("kw", "having") else None
+        order_by: List[ast.OrderItem] = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self.parse_expr()
+                desc = False
+                if self.accept("kw", "desc"):
+                    desc = True
+                elif self.accept("kw", "asc"):
+                    pass
+                order_by.append(ast.OrderItem(e, desc))
+                if not self.accept("op", ","):
+                    break
+        limit = None
+        if self.accept("kw", "limit"):
+            limit = int(self.expect("number").value)
+        return ast.Select(items, from_, where, group_by, having, order_by,
+                          limit, distinct, ctes)
+
+    def parse_select_item(self) -> ast.SelectItem:
+        if self.accept("op", "*"):
+            return ast.SelectItem(ast.Star())
+        e = self.parse_expr()
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self.expect("name").value
+        elif self.peek().kind == "name":
+            alias = self.next().value
+        return ast.SelectItem(e, alias)
+
+    # --- relations ---
+
+    def parse_relation(self) -> ast.Node:
+        rel = self.parse_relation_primary()
+        while True:
+            kind = None
+            if self.accept("kw", "cross"):
+                self.expect("kw", "join")
+                kind = "cross"
+            elif self.at_kw("join", "inner", "left", "right"):
+                if self.accept("kw", "left"):
+                    self.accept("kw", "outer")
+                    kind = "left"
+                elif self.accept("kw", "right"):
+                    self.accept("kw", "outer")
+                    kind = "right"
+                else:
+                    self.accept("kw", "inner")
+                    kind = "inner"
+                self.expect("kw", "join")
+            else:
+                break
+            right = self.parse_relation_primary()
+            on = None
+            if kind != "cross":
+                self.expect("kw", "on")
+                on = self.parse_expr()
+            rel = ast.JoinRef(rel, right, kind, on)
+        return rel
+
+    def parse_relation_primary(self) -> ast.Node:
+        if self.accept("op", "("):
+            q = self.parse_select()
+            self.expect("op", ")")
+            self.accept("kw", "as")
+            alias = self.expect("name").value
+            if self.accept("op", "("):   # AS name (col1, col2, ...)
+                col_aliases = [self.expect("name").value]
+                while self.accept("op", ","):
+                    col_aliases.append(self.expect("name").value)
+                self.expect("op", ")")
+                # rename query outputs positionally
+                assert len(col_aliases) == len(q.items), \
+                    "column alias count mismatch"
+                q = ast.Select(
+                    [ast.SelectItem(it.expr, a)
+                     for it, a in zip(q.items, col_aliases)],
+                    q.from_, q.where, q.group_by, q.having, q.order_by,
+                    q.limit, q.distinct, q.with_ctes)
+            return ast.SubqueryRef(q, alias)
+        parts = [self.expect("name").value]
+        while self.accept("op", "."):
+            parts.append(self.expect("name").value)
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self.expect("name").value
+        elif self.peek().kind == "name":
+            alias = self.next().value
+        return ast.TableRef(tuple(parts), alias)
+
+    # --- expressions (precedence climbing) ---
+
+    def parse_expr(self) -> ast.Node:
+        return self.parse_or()
+
+    def parse_or(self) -> ast.Node:
+        e = self.parse_and()
+        while self.accept("kw", "or"):
+            e = ast.BinaryOp("or", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> ast.Node:
+        e = self.parse_not()
+        while self.accept("kw", "and"):
+            e = ast.BinaryOp("and", e, self.parse_not())
+        return e
+
+    def parse_not(self) -> ast.Node:
+        if self.accept("kw", "not"):
+            return ast.UnaryOp("not", self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self) -> ast.Node:
+        e = self.parse_additive()
+        while True:
+            negated = False
+            save = self.i
+            if self.accept("kw", "not"):
+                negated = True
+            if self.accept("kw", "between"):
+                lo = self.parse_additive()
+                self.expect("kw", "and")
+                hi = self.parse_additive()
+                e = ast.BetweenExpr(e, lo, hi, negated)
+                continue
+            if self.accept("kw", "like"):
+                pat = self.expect("string").value
+                e = ast.LikeExpr(e, pat, negated)
+                continue
+            if self.accept("kw", "in"):
+                self.expect("op", "(")
+                if self.at_kw("select", "with"):
+                    q = self.parse_select()
+                    self.expect("op", ")")
+                    e = ast.InSubquery(e, q, negated)
+                else:
+                    vals = [self.parse_additive()]
+                    while self.accept("op", ","):
+                        vals.append(self.parse_additive())
+                    self.expect("op", ")")
+                    e = ast.InListExpr(e, vals, negated)
+                continue
+            if negated:
+                self.i = save
+                break
+            if self.accept("kw", "is"):
+                neg = bool(self.accept("kw", "not"))
+                self.expect("kw", "null")
+                e = ast.IsNullExpr(e, neg)
+                continue
+            t = self.peek()
+            if t.kind == "op" and t.value in ("=", "<>", "!=", "<", "<=", ">", ">="):
+                self.next()
+                op = "<>" if t.value == "!=" else t.value
+                e = ast.BinaryOp(op, e, self.parse_additive())
+                continue
+            break
+        return e
+
+    def parse_additive(self) -> ast.Node:
+        e = self.parse_multiplicative()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("+", "-", "||"):
+                self.next()
+                e = ast.BinaryOp(t.value, e, self.parse_multiplicative())
+            else:
+                break
+        return e
+
+    def parse_multiplicative(self) -> ast.Node:
+        e = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("*", "/"):
+                self.next()
+                e = ast.BinaryOp(t.value, e, self.parse_unary())
+            else:
+                break
+        return e
+
+    def parse_unary(self) -> ast.Node:
+        if self.accept("op", "-"):
+            return ast.UnaryOp("-", self.parse_unary())
+        if self.accept("op", "+"):
+            return self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self) -> ast.Node:
+        t = self.peek()
+        if self.accept("op", "("):
+            if self.at_kw("select", "with"):
+                q = self.parse_select()
+                self.expect("op", ")")
+                return ast.ScalarSubquery(q)
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "number":
+            self.next()
+            return ast.NumberLit(t.value)
+        if t.kind == "string":
+            self.next()
+            return ast.StringLit(t.value)
+        if t.kind == "kw":
+            if self.accept("kw", "date"):
+                if self.accept("op", "("):    # date('yyyy-mm-dd') form
+                    v = self.expect("string").value
+                    self.expect("op", ")")
+                    return ast.DateLit(v)
+                return ast.DateLit(self.expect("string").value)
+            if self.accept("kw", "interval"):
+                v = int(self.expect("string").value)
+                unit = self.expect("kw").value
+                if unit not in ("day", "month", "year"):
+                    raise SyntaxError(f"bad interval unit {unit}")
+                return ast.IntervalLit(v, unit)
+            if self.accept("kw", "case"):
+                whens = []
+                default = None
+                while self.accept("kw", "when"):
+                    c = self.parse_expr()
+                    self.expect("kw", "then")
+                    v = self.parse_expr()
+                    whens.append((c, v))
+                if self.accept("kw", "else"):
+                    default = self.parse_expr()
+                self.expect("kw", "end")
+                return ast.CaseExpr(whens, default)
+            if self.accept("kw", "cast"):
+                self.expect("op", "(")
+                e = self.parse_expr()
+                self.expect("kw", "as")
+                tn = self.expect("name").value if self.peek().kind == "name" \
+                    else self.next().value
+                if self.accept("op", "("):
+                    args = [self.expect("number").value]
+                    while self.accept("op", ","):
+                        args.append(self.expect("number").value)
+                    self.expect("op", ")")
+                    tn = f"{tn}({','.join(args)})"
+                self.expect("op", ")")
+                return ast.CastExpr(e, tn)
+            if self.accept("kw", "extract"):
+                self.expect("op", "(")
+                what = self.expect("kw").value
+                self.expect("kw", "from")
+                e = self.parse_expr()
+                self.expect("op", ")")
+                return ast.ExtractExpr(what, e)
+            if self.accept("kw", "substring"):
+                self.expect("op", "(")
+                e = self.parse_expr()
+                if self.accept("kw", "from"):
+                    start = self.parse_expr()
+                    length = None
+                    if self.accept("kw", "for"):
+                        length = self.parse_expr()
+                else:
+                    self.expect("op", ",")
+                    start = self.parse_expr()
+                    length = None
+                    if self.accept("op", ","):
+                        length = self.parse_expr()
+                self.expect("op", ")")
+                return ast.SubstringExpr(e, start, length)
+            if self.accept("kw", "exists"):
+                self.expect("op", "(")
+                q = self.parse_select()
+                self.expect("op", ")")
+                return ast.ExistsExpr(q)
+            if self.accept("kw", "not"):
+                return ast.UnaryOp("not", self.parse_not())
+            if self.accept("kw", "true"):
+                return ast.NumberLit("1")   # folded later
+            if self.accept("kw", "false"):
+                return ast.NumberLit("0")
+            if self.accept("kw", "null"):
+                return ast.Ident(("null",))
+        if t.kind == "name":
+            self.next()
+            if self.accept("op", "("):
+                # function call
+                if self.accept("op", "*"):
+                    self.expect("op", ")")
+                    return ast.FuncCall(t.value, [ast.Star()])
+                distinct = bool(self.accept("kw", "distinct"))
+                args = []
+                if not self.accept("op", ")"):
+                    args.append(self.parse_expr())
+                    while self.accept("op", ","):
+                        args.append(self.parse_expr())
+                    self.expect("op", ")")
+                return ast.FuncCall(t.value, args, distinct)
+            parts = [t.value]
+            while self.accept("op", "."):
+                parts.append(self.expect("name").value)
+            return ast.Ident(tuple(parts))
+        raise SyntaxError(f"unexpected token {t!r}")
+
+
+def parse(sql: str) -> ast.Select:
+    return Parser(sql).parse()
