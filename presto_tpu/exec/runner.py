@@ -37,6 +37,17 @@ class LocalRunner:
         chunk = execute(plan, self.ctx)
         return materialize(chunk)
 
+    def plan_sql(self, sql: str) -> PhysOp:
+        from ..sql.parser import parse
+        from ..sql.planner.planner import Planner
+        from ..sql.planner.pruning import prune
+        query = parse(sql)
+        plan = Planner(self.datasource.sf).plan(query)
+        return prune(plan, None)
+
+    def run_sql(self, sql: str) -> Table:
+        return self.run_physical(self.plan_sql(sql))
+
 
 def materialize(chunk: Chunk) -> Table:
     sel = np.nonzero(np.asarray(chunk.mask))[0]

@@ -13,9 +13,10 @@ state→output (finalization, e.g. avg = sum/count).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-I64_MAX = jnp.int64(2**63 - 1)
-I64_MIN = jnp.int64(-(2**63))
+I64_MAX = np.int64(2**63 - 1)
+I64_MIN = np.int64(-(2**63))
 
 
 def _scatter_idx(group: jnp.ndarray, mask: jnp.ndarray, capacity: int):

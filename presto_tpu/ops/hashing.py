@@ -13,7 +13,9 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-_GOLDEN = jnp.uint32(0x9E3779B9)
+import numpy as np
+
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def mix32(x: jnp.ndarray) -> jnp.ndarray:

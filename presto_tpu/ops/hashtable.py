@@ -30,7 +30,9 @@ import jax.numpy as jnp
 
 from .hashing import hash_keys
 
-EMPTY = jnp.int32(2**31 - 1)  # slot-owner sentinel: no row claimed
+import numpy as np
+
+EMPTY = np.int32(2**31 - 1)  # slot-owner sentinel: no row claimed
 
 
 class HashTable(NamedTuple):

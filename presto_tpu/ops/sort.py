@@ -14,8 +14,9 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-I64_MAX = jnp.int64(2**63 - 1)
+I64_MAX = np.int64(2**63 - 1)
 
 
 def bytes_sort_keys(values: jnp.ndarray, lengths: jnp.ndarray) -> List[jnp.ndarray]:

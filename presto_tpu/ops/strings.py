@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.int32(1 << 30)
+BIG = np.int32(1 << 30)
 
 
 def _seg_array(seg: bytes) -> jnp.ndarray:

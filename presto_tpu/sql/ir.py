@@ -35,6 +35,7 @@ class Expr:
 class ColumnRef(Expr):
     name: str
     _dtype: T.DataType
+    outer: bool = False  # marks correlated references during subquery analysis
 
     @property
     def dtype(self):
@@ -273,7 +274,13 @@ def and_(*args: Expr) -> Expr:
 
 
 def or_(*args: Expr) -> Expr:
-    return args[0] if len(args) == 1 else Logical("or", tuple(args))
+    flat: List[Expr] = []
+    for a in args:
+        if isinstance(a, Logical) and a.op == "or":
+            flat.extend(a.args)
+        else:
+            flat.append(a)
+    return flat[0] if len(flat) == 1 else Logical("or", tuple(flat))
 
 
 def lit_bigint(v: int) -> Literal:

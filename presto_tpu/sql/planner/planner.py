@@ -1,0 +1,1073 @@
+"""SQL planner: analyzed AST → physical plan.
+
+Condenses the reference's analyzer + logical planner + key optimizer rules
+(``sql/analyzer/StatementAnalyzer.java``, ``sql/planner/LogicalPlanner.java:195``,
+``planner/iterative/rule/``) into one pass that emits the TPU physical plan:
+
+- scope/name resolution (accepts both spec column names ``l_shipdate`` and
+  the reference connector's stripped names ``l.shipdate``)
+- predicate decomposition + pushdown (``PredicatePushDown``), common-conjunct
+  extraction from OR arms (``ExtractCommonPredicatesExpressionRewriter`` —
+  what makes Q19's join key visible)
+- greedy stats-guided join ordering with PK-side build selection
+  (``ReorderJoins`` + ``DetermineJoinDistributionType`` reduced to heuristics)
+- subquery decorrelation (``TransformCorrelatedScalarAggregation``,
+  ``TransformExistsApplyToCorrelatedJoin`` equivalents):
+  EXISTS/NOT EXISTS → semi/anti join (+ residual non-equi filter),
+  IN (subquery) → semi join, correlated scalar aggregate → group-by + join,
+  uncorrelated scalar → ScalarBind
+- aggregate extraction (partial/final split happens later, at the
+  distributed fragmenter level)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field as dfield
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from ...data import types as T
+from ...exec import physical as P
+from ...tpch import schema as SCH
+from .. import ast
+from .. import ir
+
+AGG_FUNCS = {"sum", "avg", "count", "min", "max"}
+EPOCH = dt.date(1970, 1, 1)
+
+
+def _days(iso: str) -> int:
+    return (dt.date.fromisoformat(iso) - EPOCH).days
+
+
+def _add_interval(d: dt.date, n: int, unit: str) -> dt.date:
+    if unit == "day":
+        return d + dt.timedelta(days=n)
+    if unit == "month":
+        m = d.month - 1 + n
+        y = d.year + m // 12
+        return dt.date(y, m % 12 + 1, min(d.day, 28) if d.day > 28 else d.day)
+    if unit == "year":
+        return dt.date(d.year + n, d.month, d.day)
+    raise ValueError(unit)
+
+
+# ---------------------------------------------------------------- scopes
+
+@dataclass
+class Scope:
+    # (alias_or_None, column_name) -> (physical_name, dtype)
+    entries: Dict[Tuple[Optional[str], str], Tuple[str, T.DataType]] = dfield(
+        default_factory=dict)
+
+    def add(self, alias: Optional[str], name: str, phys: str, dtype):
+        self.entries[(alias, name)] = (phys, dtype)
+        self.entries.setdefault((None, name), (phys, dtype))
+
+    def resolve(self, parts: Tuple[str, ...]):
+        if len(parts) == 1:
+            return self.entries.get((None, parts[0]))
+        if len(parts) == 2:
+            return self.entries.get((parts[0], parts[1]))
+        return None
+
+    def merged(self, other: "Scope") -> "Scope":
+        s = Scope(dict(self.entries))
+        for k, v in other.entries.items():
+            if k in s.entries and k[0] is None:
+                continue  # ambiguous unqualified name: first wins; qualified ok
+            s.entries[k] = v
+        return s
+
+    def output_names(self) -> List[str]:
+        seen = []
+        for (a, n), (phys, _) in self.entries.items():
+            if phys not in seen:
+                seen.append(phys)
+        return seen
+
+
+@dataclass
+class Rel:
+    plan: P.PhysOp
+    scope: Scope
+    columns: Set[str]
+    unique_keys: List[frozenset] = dfield(default_factory=list)
+    est: float = 1e6
+
+
+# ---------------------------------------------------------------- planner
+
+class Planner:
+    def __init__(self, scale_factor: float):
+        self.sf = scale_factor
+        self.counter = 0
+        self.used_prefixes: Set[str] = set()
+        self.ctes: Dict[str, ast.Select] = {}
+
+    def fresh(self, base: str) -> str:
+        self.counter += 1
+        return f"${base}{self.counter}"
+
+    # aggregation-resolution state is per-SELECT; nested subquery planning
+    # saves and restores it (fixes HAVING subqueries clobbering outer state)
+    _AGG_ATTRS = ("_agg_specs", "_agg_map", "_cur_scope", "_cur_outer",
+                  "_group_map", "_post_scope")
+
+    def _save_agg_state(self):
+        return {a: getattr(self, a, None) for a in self._AGG_ATTRS}
+
+    def _restore_agg_state(self, s):
+        for a in self._AGG_ATTRS:
+            setattr(self, a, s[a])
+
+    # ---- entry ----
+
+    def plan(self, query: ast.Select) -> P.PhysOp:
+        rel = self.plan_select(query, outer=None)
+        return rel.plan
+
+    # ---- relations ----
+
+    def plan_table(self, ref: ast.TableRef) -> Rel:
+        name = ref.catalog_parts[-1].lower()
+        if name in self.ctes:
+            sub = self.plan_select(self.ctes[name], outer=None)
+            return self._aliased_subquery(sub, ref.alias or name)
+        if name not in SCH.TABLE_SCHEMAS:
+            raise KeyError(f"unknown table {name}")
+        prefix = ""
+        if ref.alias and ref.alias != name:
+            prefix = ref.alias + "__"
+        while prefix and prefix in self.used_prefixes:
+            prefix += "x"
+        if prefix:
+            self.used_prefixes.add(prefix)
+        scope = Scope()
+        cols = set()
+        strip = SCH.COLUMN_PREFIXES[name]
+        alias = ref.alias or name
+        for cname, ctype in SCH.TABLE_SCHEMAS[name]:
+            phys = prefix + cname
+            cols.add(phys)
+            scope.add(alias, cname, phys, ctype)
+            if cname.startswith(strip):
+                scope.add(alias, cname[len(strip):], phys, ctype)
+        plan = P.PhysScan(name, tuple(c for c, _ in SCH.TABLE_SCHEMAS[name]),
+                          alias_prefix=prefix)
+        uk = [frozenset(prefix + k for k in SCH.PRIMARY_KEYS[name])]
+        est = SCH.CATALOG.row_count(SCH.TableHandle(name, self.sf))
+        return Rel(plan, scope, cols, uk, est)
+
+    def _aliased_subquery(self, sub: Rel, alias: str) -> Rel:
+        """Rename subquery outputs into an alias-prefixed namespace."""
+        prefix = alias + "__"
+        while prefix in self.used_prefixes:
+            prefix += "x"
+        self.used_prefixes.add(prefix)
+        scope = Scope()
+        projections = []
+        cols = set()
+        rename: Dict[str, str] = {}
+        for (a, cname), (phys, ctype) in list(sub.scope.entries.items()):
+            if phys not in rename:
+                rename[phys] = prefix + phys.split("__")[-1]
+                projections.append(
+                    (rename[phys], ir.ColumnRef(phys, ctype)))
+                cols.add(rename[phys])
+            scope.add(alias, cname, rename[phys], ctype)
+        plan = P.PhysProject(sub.plan, tuple(projections))
+        uk = [frozenset(rename.get(c, c) for c in k) for k in sub.unique_keys
+              if all(c in rename for c in k)]
+        return Rel(plan, scope, cols, uk, sub.est)
+
+    # ---- expression resolution ----
+
+    def resolve(self, node: ast.Node, scope: Scope,
+                outer: Optional[Scope] = None) -> ir.Expr:
+        r = self._resolve(node, scope, outer)
+        return r
+
+    def _resolve(self, node, scope, outer) -> ir.Expr:
+        if isinstance(node, ast.Ident):
+            if node.parts == ("null",):
+                return ir.Literal(None, T.BIGINT)
+            hit = scope.resolve(node.parts)
+            if hit:
+                return ir.ColumnRef(hit[0], hit[1])
+            if outer is not None:
+                hit = outer.resolve(node.parts)
+                if hit:
+                    return ir.ColumnRef(hit[0], hit[1], outer=True)
+            raise KeyError(f"cannot resolve column {'.'.join(node.parts)}")
+        if isinstance(node, ast.NumberLit):
+            text = node.text
+            if "." in text or "e" in text or "E" in text:
+                if "e" in text.lower():
+                    raise NotImplementedError("float literals")
+                intpart, frac = (text.split(".") + [""])[:2]
+                scale = len(frac)
+                unscaled = int((intpart or "0") + frac)
+                return ir.lit_decimal(unscaled, scale)
+            return ir.lit_bigint(int(text))
+        if isinstance(node, ast.StringLit):
+            return ir.lit_string(node.value)
+        if isinstance(node, ast.DateLit):
+            return ir.lit_date(_days(node.value))
+        if isinstance(node, ast.IntervalLit):
+            raise ValueError("interval literal outside date arithmetic")
+        if isinstance(node, ast.BinaryOp):
+            if node.op in ("and", "or"):
+                l = self._resolve(node.left, scope, outer)
+                r = self._resolve(node.right, scope, outer)
+                return ir.and_(l, r) if node.op == "and" else ir.or_(l, r)
+            if node.op in ("=", "<>", "<", "<=", ">", ">="):
+                l = self._resolve(node.left, scope, outer)
+                r = self._resolve(node.right, scope, outer)
+                return ir.Compare(node.op, l, r)
+            if node.op in ("+", "-"):
+                # date ± interval folding (always literal dates in TPC-H)
+                if isinstance(node.right, ast.IntervalLit):
+                    l = self._resolve(node.left, scope, outer)
+                    if isinstance(l, ir.Literal) and isinstance(l.dtype, T.DateType):
+                        d = EPOCH + dt.timedelta(days=int(l.value))
+                        sign = 1 if node.op == "+" else -1
+                        d2 = _add_interval(d, sign * node.right.value,
+                                           node.right.unit)
+                        return ir.lit_date((d2 - EPOCH).days)
+                    raise NotImplementedError("interval on non-literal date")
+                l = self._resolve(node.left, scope, outer)
+                r = self._resolve(node.right, scope, outer)
+                return ir.arith(node.op, l, r)
+            if node.op in ("*", "/"):
+                l = self._resolve(node.left, scope, outer)
+                r = self._resolve(node.right, scope, outer)
+                return ir.arith(node.op, l, r)
+            raise NotImplementedError(f"op {node.op}")
+        if isinstance(node, ast.UnaryOp):
+            if node.op == "-":
+                a = self._resolve(node.arg, scope, outer)
+                if isinstance(a, ir.Literal):
+                    return ir.Literal(-a.value, a.dtype)
+                return ir.Negate(a)
+            if node.op == "not":
+                return ir.Not(self._resolve(node.arg, scope, outer))
+        if isinstance(node, ast.BetweenExpr):
+            b = ir.Between(self._resolve(node.arg, scope, outer),
+                           self._resolve(node.lo, scope, outer),
+                           self._resolve(node.hi, scope, outer))
+            return ir.Not(b) if node.negated else b
+        if isinstance(node, ast.LikeExpr):
+            return ir.Like(self._resolve(node.arg, scope, outer),
+                           node.pattern, node.negated)
+        if isinstance(node, ast.InListExpr):
+            vals = []
+            for v in node.values:
+                rv = self._resolve(v, scope, outer)
+                assert isinstance(rv, ir.Literal), "IN list must be literals"
+                vals.append(rv.value)
+            e = ir.InList(self._resolve(node.arg, scope, outer), tuple(vals))
+            return ir.Not(e) if node.negated else e
+        if isinstance(node, ast.CaseExpr):
+            whens = tuple(
+                (self._resolve(c, scope, outer), self._resolve(v, scope, outer))
+                for c, v in node.whens)
+            default = (self._resolve(node.default, scope, outer)
+                       if node.default is not None else None)
+            dtypes = [v.dtype for _, v in whens]
+            if default is not None:
+                dtypes.append(default.dtype)
+            rt = dtypes[0]
+            for d in dtypes[1:]:
+                rt = T.common_super_type(rt, d)
+            return ir.Case(whens, default, rt)
+        if isinstance(node, ast.ExtractExpr):
+            assert node.what == "year", f"extract({node.what})"
+            return ir.ExtractYear(self._resolve(node.arg, scope, outer))
+        if isinstance(node, ast.SubstringExpr):
+            arg = self._resolve(node.arg, scope, outer)
+            start = self._resolve(node.start, scope, outer)
+            assert isinstance(start, ir.Literal)
+            if node.length is None:
+                assert isinstance(arg.dtype, (T.VarcharType, T.CharType))
+                size = (arg.dtype.length or 64) - int(start.value) + 1
+            else:
+                ln = self._resolve(node.length, scope, outer)
+                assert isinstance(ln, ir.Literal)
+                size = int(ln.value)
+            return ir.Substring(arg, int(start.value), size)
+        if isinstance(node, ast.CastExpr):
+            arg = self._resolve(node.arg, scope, outer)
+            return ir.Cast(arg, _parse_type(node.type_name))
+        if isinstance(node, ast.IsNullExpr):
+            return ir.IsNull(self._resolve(node.arg, scope, outer),
+                             node.negated)
+        if isinstance(node, ast.FuncCall):
+            raise ValueError(
+                f"function {node.name} in scalar context (aggregates are "
+                f"extracted separately)")
+        raise NotImplementedError(type(node).__name__)
+
+    # ---- conjunct utilities ----
+
+    @staticmethod
+    def split_and(node: Optional[ast.Node]) -> List[ast.Node]:
+        if node is None:
+            return []
+        if isinstance(node, ast.BinaryOp) and node.op == "and":
+            return Planner.split_and(node.left) + Planner.split_and(node.right)
+        return [node]
+
+    @staticmethod
+    def _contains_subquery(node: ast.Node) -> bool:
+        if isinstance(node, (ast.InSubquery, ast.ExistsExpr, ast.ScalarSubquery)):
+            return True
+        for attr in ("left", "right", "arg", "lo", "hi"):
+            c = getattr(node, attr, None)
+            if isinstance(c, ast.Node) and Planner._contains_subquery(c):
+                return True
+        if isinstance(node, ast.CaseExpr):
+            return any(Planner._contains_subquery(x)
+                       for c, v in node.whens for x in (c, v))
+        return False
+
+    # ---- select planning ----
+
+    def plan_select(self, q: ast.Select, outer: Optional[Scope]) -> Rel:
+        saved_ctes = dict(self.ctes)
+        saved_agg = self._save_agg_state()  # keep enclosing SELECT's state
+        for name, cq in q.with_ctes:
+            self.ctes[name] = cq
+        try:
+            rel = self._plan_select_body(q, outer)
+        finally:
+            self.ctes = saved_ctes
+            self._restore_agg_state(saved_agg)
+        return rel
+
+    def _plan_select_body(self, q: ast.Select, outer: Optional[Scope]) -> Rel:
+        # 1. FROM → base relations (+ structured outer joins)
+        rels: List[Rel] = []
+        left_specs: List[Tuple[int, Rel, List[ast.Node]]] = []
+        on_conjuncts: List[ast.Node] = []
+
+        def add_relation(r: ast.Node):
+            if isinstance(r, ast.TableRef):
+                rels.append(self.plan_table(r))
+            elif isinstance(r, ast.SubqueryRef):
+                sub = self.plan_select(r.query, outer=None)
+                rels.append(self._aliased_subquery(sub, r.alias))
+            elif isinstance(r, ast.JoinRef):
+                if r.kind in ("inner", "cross"):
+                    add_relation(r.left)
+                    add_relation(r.right)
+                    if r.on is not None:
+                        on_conjuncts.extend(self.split_and(r.on))
+                elif r.kind in ("left", "right"):
+                    l, rr = (r.left, r.right) if r.kind == "left" else (r.right, r.left)
+                    add_relation(l)
+                    left_idx = len(rels) - 1
+                    if isinstance(rr, ast.TableRef):
+                        right_rel = self.plan_table(rr)
+                    elif isinstance(rr, ast.SubqueryRef):
+                        right_rel = self._aliased_subquery(
+                            self.plan_select(rr.query, outer=None), rr.alias)
+                    else:
+                        raise NotImplementedError("nested join right side")
+                    left_specs.append(
+                        (left_idx, right_rel, self.split_and(r.on)))
+                else:
+                    raise NotImplementedError(r.kind)
+            else:
+                raise NotImplementedError(type(r).__name__)
+
+        for r in q.from_:
+            add_relation(r)
+        if not rels:
+            raise NotImplementedError("SELECT without FROM")
+
+        full_scope = rels[0].scope
+        for r in rels[1:]:
+            full_scope = full_scope.merged(r.scope)
+        for _, rr, _ in left_specs:
+            full_scope = full_scope.merged(rr.scope)
+
+        # 2. WHERE conjuncts: subquery vs plain
+        where_cons = self.split_and(q.where) + on_conjuncts
+        plain_ast = [c for c in where_cons if not self._contains_subquery(c)]
+        subq_ast = [c for c in where_cons if self._contains_subquery(c)]
+
+        plain = [self.resolve(c, full_scope, outer) for c in plain_ast]
+
+        # 3. inner join tree
+        cur = self.build_join_tree(rels, plain)
+
+        # 3b. structured LEFT JOINs
+        for left_idx, right_rel, on in left_specs:
+            cur = self.apply_left_join(cur, right_rel, on, outer)
+            full_scope = cur.scope
+
+        # 4. subquery conjuncts
+        for c in subq_ast:
+            cur = self.apply_subquery_conjunct(cur, c, outer)
+
+        # 5. aggregation
+        has_aggs = any(self._ast_has_agg(it.expr) for it in q.items) \
+            or (q.having is not None) or bool(q.group_by)
+        order_scope_extra: Dict[str, Tuple[str, T.DataType]] = {}
+
+        if has_aggs:
+            cur, post_scope = self.apply_aggregation(cur, q, outer)
+        else:
+            post_scope = cur.scope
+
+        # 6. select outputs
+        items: List[Tuple[str, ir.Expr]] = []
+        for i, it in enumerate(q.items):
+            if isinstance(it.expr, ast.Star):
+                for (a, nme), (phys, dtype) in cur.scope.entries.items():
+                    if a is not None and all(p != phys for _, pdt in items
+                                             for p in [pdt]):
+                        pass
+                # expand distinct physical outputs
+                seen = set()
+                for (a, nme), (phys, dtype) in cur.scope.entries.items():
+                    if phys not in seen:
+                        seen.add(phys)
+                        items.append((phys, ir.ColumnRef(phys, dtype)))
+                continue
+            if has_aggs:
+                e = self.resolve_post_agg(it.expr, post_scope)
+            else:
+                e = self.resolve(it.expr, post_scope, outer)
+            name = it.alias or self._derived_name(it.expr, i)
+            items.append((name, e))
+
+        proj = P.PhysProject(cur.plan, tuple(items))
+        out_scope = Scope()
+        for name, e in items:
+            out_scope.add(None, name, name, e.dtype)
+        out = Rel(proj, out_scope, {n for n, _ in items},
+                  cur.unique_keys if not q.distinct else
+                  [frozenset(n for n, _ in items)], cur.est)
+
+        # 7. distinct
+        if q.distinct:
+            gb = tuple((n, ir.ColumnRef(n, e.dtype)) for n, e in items)
+            out.plan = P.PhysHashAggregate(out.plan, gb, (), ndv_hint=4096)
+
+        # 8. order/limit
+        if q.order_by:
+            keys = []
+            for oi in q.order_by:
+                e = self._resolve_order(oi.expr, out_scope, post_scope, items)
+                keys.append((e, oi.descending))
+            out.plan = P.PhysSort(out.plan, tuple(keys), q.limit)
+        elif q.limit is not None:
+            # static-slice limit requires front-compacted rows
+            out.plan = P.PhysSort(
+                out.plan, ((ir.lit_bigint(0), False),), q.limit)
+        return out
+
+    def _resolve_order(self, node, out_scope, post_scope, items):
+        if isinstance(node, ast.NumberLit):
+            idx = int(node.text) - 1
+            name, e = items[idx]
+            return ir.ColumnRef(name, e.dtype)
+        try:
+            return self.resolve(node, out_scope, None)
+        except (KeyError, ValueError):
+            pass
+        return self.resolve_post_agg(node, post_scope) \
+            if post_scope is not out_scope else self.resolve(node, post_scope, None)
+
+    def _derived_name(self, node: ast.Node, i: int) -> str:
+        if isinstance(node, ast.Ident):
+            return node.parts[-1]
+        return f"_col{i}"
+
+    # ---- aggregation ----
+
+    def _ast_has_agg(self, node) -> bool:
+        if isinstance(node, ast.FuncCall) and node.name in AGG_FUNCS:
+            return True
+        for attr in ("left", "right", "arg", "lo", "hi", "start", "length",
+                     "default"):
+            c = getattr(node, attr, None)
+            if isinstance(c, ast.Node) and self._ast_has_agg(c):
+                return True
+        if isinstance(node, ast.CaseExpr):
+            return any(self._ast_has_agg(x)
+                       for c, v in node.whens for x in (c, v))
+        if isinstance(node, ast.FuncCall):
+            return any(self._ast_has_agg(a) for a in node.args
+                       if isinstance(a, ast.Node))
+        return False
+
+    def apply_aggregation(self, cur: Rel, q: ast.Select,
+                          outer: Optional[Scope]):
+        scope = cur.scope
+        groups: List[Tuple[str, ir.Expr]] = []
+        group_map: Dict[ir.Expr, Tuple[str, T.DataType]] = {}
+        for i, g in enumerate(q.group_by):
+            e = self.resolve(g, scope, outer)
+            if isinstance(e, ir.ColumnRef):
+                name = e.name
+            else:
+                name = self.fresh("g")
+            groups.append((name, e))
+            group_map[e] = (name, e.dtype)
+
+        self._agg_specs: List[P.AggSpec] = []
+        self._agg_map: Dict[Tuple, str] = {}
+        self._cur_scope = scope
+        self._cur_outer = outer
+        self._group_map = group_map
+
+        # pre-resolve select/having/order to collect aggregates
+        post_scope = Scope()
+        for name, e in groups:
+            post_scope.add(None, name, name, e.dtype)
+        self._post_scope = post_scope
+
+        for it in q.items:
+            if not isinstance(it.expr, ast.Star):
+                self.resolve_post_agg(it.expr, post_scope)
+        if q.having is not None:
+            for c in self.split_and(q.having):
+                if not self._contains_subquery(c):
+                    self.resolve_post_agg(c, post_scope)
+                else:
+                    self._collect_aggs_only(c, post_scope)
+        for oi in q.order_by:
+            try:
+                self.resolve_post_agg(oi.expr, post_scope)
+            except (KeyError, ValueError):
+                pass
+
+        ndv = 1
+        for _, e in groups:
+            ndv *= self._ndv_of(e)
+        ndv = int(min(max(ndv, 16), max(cur.est, 16)))
+
+        plan = P.PhysHashAggregate(cur.plan, tuple(groups),
+                                   tuple(self._agg_specs), ndv_hint=ndv)
+        uk = [frozenset(n for n, _ in groups)] if groups else []
+        rel = Rel(plan, post_scope, {n for n, _ in post_scope.output_names()
+                                     } if False else set(post_scope.output_names()),
+                  uk, float(ndv))
+
+        # HAVING (plain parts now; subquery parts via scalar bind)
+        if q.having is not None:
+            for c in self.split_and(q.having):
+                if self._contains_subquery(c):
+                    rel = self.apply_subquery_conjunct(rel, c, outer,
+                                                      post_agg=True)
+                else:
+                    pred = self.resolve_post_agg(c, post_scope)
+                    rel.plan = P.PhysFilter(rel.plan, pred)
+        return rel, post_scope
+
+    def _ndv_of(self, e: ir.Expr) -> int:
+        if isinstance(e, ir.ColumnRef):
+            base = e.name.split("__")[-1]
+            for tbl, cols in SCH.TABLE_SCHEMAS.items():
+                if any(c == base for c, _ in cols):
+                    return SCH.ndv_estimate(tbl, base, self.sf)
+        return 64
+
+    def _collect_aggs_only(self, node, post_scope):
+        """Collect aggregates from a having-conjunct containing subqueries."""
+        if isinstance(node, ast.FuncCall) and node.name in AGG_FUNCS:
+            self._agg_ref(node)
+            return
+        if isinstance(node, (ast.InSubquery, ast.ExistsExpr, ast.ScalarSubquery)):
+            return
+        for attr in ("left", "right", "arg", "lo", "hi"):
+            c = getattr(node, attr, None)
+            if isinstance(c, ast.Node):
+                self._collect_aggs_only(c, post_scope)
+
+    def _agg_ref(self, node: ast.FuncCall) -> ir.ColumnRef:
+        if node.name == "count" and (not node.args or
+                                     isinstance(node.args[0], ast.Star)):
+            key = ("count_star", None, False)
+            arg = None
+        else:
+            arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
+            key = (node.name, arg, node.distinct)
+        if key not in self._agg_map:
+            name = self.fresh("agg")
+            func = node.name if arg is not None else "count_star"
+            spec = P.AggSpec(name, func, arg, node.distinct)
+            self._agg_specs.append(spec)
+            self._agg_map[key] = name
+            self._post_scope.add(None, name, name,
+                                 P._agg_output_type(spec))
+        name = self._agg_map[key]
+        return ir.ColumnRef(name, self._post_scope.resolve((name,))[1])
+
+    def resolve_post_agg(self, node: ast.Node, post_scope: Scope) -> ir.Expr:
+        if isinstance(node, ast.FuncCall) and node.name in AGG_FUNCS:
+            return self._agg_ref(node)
+        if isinstance(node, ast.Ident):
+            hit = post_scope.resolve(node.parts)
+            if hit:
+                return ir.ColumnRef(hit[0], hit[1])
+            # maybe a group expression spelled as a column of the input
+            e = self.resolve(node, self._cur_scope, self._cur_outer)
+            if e in self._group_map:
+                n, d = self._group_map[e]
+                return ir.ColumnRef(n, d)
+            raise KeyError(f"{'.'.join(node.parts)} not in GROUP BY output")
+        # literals resolve as usual
+        if isinstance(node, (ast.NumberLit, ast.StringLit, ast.DateLit)):
+            return self.resolve(node, post_scope, None)
+        # structural recursion via a shallow copy trick
+        if isinstance(node, ast.BinaryOp):
+            l = self.resolve_post_agg(node.left, post_scope)
+            r = self.resolve_post_agg(node.right, post_scope)
+            if node.op in ("and", "or"):
+                return ir.and_(l, r) if node.op == "and" else ir.or_(l, r)
+            if node.op in ("=", "<>", "<", "<=", ">", ">="):
+                return ir.Compare(node.op, l, r)
+            return ir.arith(node.op, l, r)
+        if isinstance(node, ast.UnaryOp):
+            a = self.resolve_post_agg(node.arg, post_scope)
+            return ir.Not(a) if node.op == "not" else ir.Negate(a)
+        if isinstance(node, ast.CaseExpr):
+            whens = tuple((self.resolve_post_agg(c, post_scope),
+                           self.resolve_post_agg(v, post_scope))
+                          for c, v in node.whens)
+            default = (self.resolve_post_agg(node.default, post_scope)
+                       if node.default is not None else None)
+            rt = whens[0][1].dtype
+            for _, v in whens[1:]:
+                rt = T.common_super_type(rt, v.dtype)
+            if default is not None:
+                rt = T.common_super_type(rt, default.dtype)
+            return ir.Case(whens, default, rt)
+        if isinstance(node, ast.BetweenExpr):
+            e = ir.Between(self.resolve_post_agg(node.arg, post_scope),
+                           self.resolve_post_agg(node.lo, post_scope),
+                           self.resolve_post_agg(node.hi, post_scope))
+            return ir.Not(e) if node.negated else e
+        # fall back: group expression spelled structurally
+        e = self.resolve(node, self._cur_scope, self._cur_outer)
+        if e in self._group_map:
+            n, d = self._group_map[e]
+            return ir.ColumnRef(n, d)
+        raise NotImplementedError(
+            f"post-aggregation expression {type(node).__name__}")
+
+    # ---- join ordering ----
+
+    def build_join_tree(self, rels: List[Rel], conjuncts: List[ir.Expr]) -> Rel:
+        if len(rels) == 1 and not conjuncts:
+            return rels[0]
+
+        # hoist conjuncts common to all OR arms (exposes Q19's join keys)
+        extra: List[ir.Expr] = []
+        for c in conjuncts:
+            if isinstance(c, ir.Logical) and c.op == "or":
+                arm_sets = [set(self._split_ir_and(a)) for a in c.args]
+                common = set.intersection(*arm_sets) if arm_sets else set()
+                extra.extend(common)
+        conjuncts = conjuncts + extra
+
+        comps = [Rel(r.plan, r.scope, set(r.columns), list(r.unique_keys),
+                     r.est) for r in rels]
+        pending: List[ir.Expr] = []
+
+        # single-rel pushdown
+        for c in conjuncts:
+            refs = set(ir.referenced_columns(c))
+            hit = [i for i, r in enumerate(comps) if refs & r.columns]
+            if len(hit) == 1 and refs <= comps[hit[0]].columns:
+                comps[hit[0]].plan = P.PhysFilter(comps[hit[0]].plan, c)
+                comps[hit[0]].est *= self._selectivity(c)
+            else:
+                pending.append(c)
+
+        def comp_of(col: str) -> Optional[int]:
+            for i, r in enumerate(comps):
+                if col in r.columns:
+                    return i
+            return None
+
+        while len(comps) > 1:
+            # find equi edges between current components
+            edges: Dict[Tuple[int, int], List[Tuple[ir.Expr, ir.Expr]]] = {}
+            for c in pending:
+                pair = self._equi_pair(c, comp_of)
+                if pair is None:
+                    continue
+                (ci, le), (cj, re_) = pair
+                if ci == cj:
+                    continue
+                a, b = (ci, cj) if ci < cj else (cj, ci)
+                l, r = (le, re_) if ci < cj else (re_, le)
+                edges.setdefault((a, b), []).append((l, r))
+            if not edges:
+                raise NotImplementedError(
+                    "cross join between unconnected relations")
+            # pick the edge whose smaller side is smallest (build small first)
+            (a, b), keys = min(
+                edges.items(),
+                key=lambda kv: min(comps[kv[0][0]].est, comps[kv[0][1]].est))
+            probe_i, build_i = (a, b) if comps[a].est >= comps[b].est else (b, a)
+            probe, build = comps[probe_i], comps[build_i]
+            pk = []
+            bk = []
+            for l, r in keys:
+                if set(ir.referenced_columns(l)) <= probe.columns:
+                    pk.append(l)
+                    bk.append(r)
+                else:
+                    pk.append(r)
+                    bk.append(l)
+            bset = frozenset(c for e in bk for c in ir.referenced_columns(e))
+            unique = any(u <= bset for u in build.unique_keys)
+            payload = tuple((c, c) for c in sorted(build.columns))
+            plan = P.PhysHashJoin(
+                probe.plan, build.plan, tuple(pk), tuple(bk),
+                kind="inner", unique_build=unique, build_payload=payload)
+            est = probe.est if unique else probe.est * 4
+            merged = Rel(plan, probe.scope.merged(build.scope),
+                         probe.columns | build.columns,
+                         probe.unique_keys if unique else [
+                             pu | bu for pu in probe.unique_keys
+                             for bu in build.unique_keys],
+                         est)
+            # drop used equi conjuncts, apply now-complete filters
+            used = set()
+            for l, r in keys:
+                used.add(self._mk_eq(l, r))
+                used.add(self._mk_eq(r, l))
+            new_pending = []
+            for c in pending:
+                if c in used:
+                    continue
+                refs = set(ir.referenced_columns(c))
+                if refs <= merged.columns:
+                    merged.plan = P.PhysFilter(merged.plan, c)
+                    merged.est *= self._selectivity(c)
+                else:
+                    new_pending.append(c)
+            pending = new_pending
+            comps = [r for i, r in enumerate(comps)
+                     if i not in (probe_i, build_i)] + [merged]
+
+        out = comps[0]
+        for c in pending:
+            out.plan = P.PhysFilter(out.plan, c)
+        return out
+
+    @staticmethod
+    def _split_ir_and(e: ir.Expr) -> List[ir.Expr]:
+        if isinstance(e, ir.Logical) and e.op == "and":
+            out = []
+            for a in e.args:
+                out.extend(Planner._split_ir_and(a))
+            return out
+        return [e]
+
+    @staticmethod
+    def _mk_eq(l, r):
+        return ir.Compare("=", l, r)
+
+    def _equi_pair(self, c: ir.Expr, comp_of):
+        if not (isinstance(c, ir.Compare) and c.op == "="):
+            return None
+        lrefs = ir.referenced_columns(c.left)
+        rrefs = ir.referenced_columns(c.right)
+        if not lrefs or not rrefs:
+            return None
+        ci = comp_of(lrefs[0])
+        cj = comp_of(rrefs[0])
+        if ci is None or cj is None:
+            return None
+        if any(comp_of(x) != ci for x in lrefs) or \
+           any(comp_of(x) != cj for x in rrefs):
+            return None
+        return (ci, c.left), (cj, c.right)
+
+    @staticmethod
+    def _selectivity(c: ir.Expr) -> float:
+        if isinstance(c, ir.Compare):
+            return 0.1 if c.op == "=" else 0.4
+        if isinstance(c, (ir.Like, ir.InList)):
+            return 0.3
+        if isinstance(c, ir.Between):
+            return 0.3
+        return 0.5
+
+    # ---- outer joins ----
+
+    def apply_left_join(self, cur: Rel, right: Rel,
+                        on: List[ast.Node], outer) -> Rel:
+        scope = cur.scope.merged(right.scope)
+        cons = [self.resolve(c, scope, outer) for c in on]
+        equi_l, equi_r, residual = [], [], []
+        right_filters = []
+        for c in cons:
+            refs = set(ir.referenced_columns(c))
+            if refs <= right.columns:
+                right_filters.append(c)
+                continue
+            if isinstance(c, ir.Compare) and c.op == "=":
+                lr = set(ir.referenced_columns(c.left))
+                rr = set(ir.referenced_columns(c.right))
+                if lr <= cur.columns and rr <= right.columns:
+                    equi_l.append(c.left)
+                    equi_r.append(c.right)
+                    continue
+                if rr <= cur.columns and lr <= right.columns:
+                    equi_l.append(c.right)
+                    equi_r.append(c.left)
+                    continue
+            residual.append(c)
+        rplan = right.plan
+        for f in right_filters:
+            rplan = P.PhysFilter(rplan, f)
+        bset = frozenset(c for e in equi_r for c in ir.referenced_columns(e))
+        unique = any(u <= bset for u in right.unique_keys)
+        payload = tuple((c, c) for c in sorted(right.columns))
+        plan = P.PhysHashJoin(
+            cur.plan, rplan, tuple(equi_l), tuple(equi_r), kind="left",
+            unique_build=unique, build_payload=payload,
+            filter=ir.and_(*residual) if residual else None)
+        return Rel(plan, scope, cur.columns | right.columns,
+                   [], cur.est * (1 if unique else 4))
+
+    # ---- subquery conjuncts ----
+
+    def apply_subquery_conjunct(self, cur: Rel, c: ast.Node,
+                                outer: Optional[Scope],
+                                post_agg: bool = False) -> Rel:
+        negated = False
+        node = c
+        while isinstance(node, ast.UnaryOp) and node.op == "not":
+            negated = not negated
+            node = node.arg
+
+        if isinstance(node, ast.ExistsExpr):
+            return self._apply_exists(cur, node.query,
+                                      negated ^ node.negated, outer)
+        if isinstance(node, ast.InSubquery):
+            return self._apply_in(cur, node, negated ^ node.negated, outer,
+                                  post_agg)
+        if isinstance(node, ast.BinaryOp) and node.op in (
+                "=", "<>", "<", "<=", ">", ">="):
+            sub_side = None
+            if isinstance(node.right, ast.ScalarSubquery):
+                sub_side, other, op = node.right, node.left, node.op
+            elif isinstance(node.left, ast.ScalarSubquery):
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+                sub_side, other = node.left, node.right
+                op = flip.get(node.op, node.op)
+            if sub_side is not None:
+                rel = self._apply_scalar_compare(
+                    cur, other, op, sub_side.query, negated, outer, post_agg)
+                return rel
+        raise NotImplementedError(
+            f"subquery conjunct shape {type(node).__name__}")
+
+    def _subquery_correlation(self, q: ast.Select, cur_scope: Scope):
+        """Plan a subquery's FROM + split conjuncts by correlation."""
+        sub = SubqueryParts(self, q, cur_scope)
+        return sub
+
+    def _apply_exists(self, cur: Rel, q: ast.Select, negated: bool,
+                      outer) -> Rel:
+        parts = SubqueryParts(self, q, cur.scope)
+        inner = self.build_join_tree(parts.rels, parts.inner_conjuncts)
+        for c in parts.extra_subqueries:
+            inner = self.apply_subquery_conjunct(inner, c, parts.scope_for_inner)
+        probe_keys = tuple(o for o, _ in parts.corr_eq)
+        build_keys = tuple(i for _, i in parts.corr_eq)
+        residual = None
+        payload: Tuple[Tuple[str, str], ...] = ()
+        if parts.corr_other:
+            residual = ir.and_(*[self._strip_outer(c) for c in parts.corr_other])
+            pay_cols = set(ir.referenced_columns(residual)) & inner.columns
+            payload = tuple((p, p) for p in sorted(pay_cols))
+        plan = P.PhysHashJoin(
+            cur.plan, inner.plan,
+            tuple(self._strip_outer(k) for k in probe_keys),
+            build_keys, kind="anti" if negated else "semi",
+            unique_build=False, build_payload=payload, filter=residual)
+        return Rel(plan, cur.scope, cur.columns, cur.unique_keys, cur.est)
+
+    def _apply_in(self, cur: Rel, node: ast.InSubquery, negated: bool,
+                  outer, post_agg: bool) -> Rel:
+        arg = (self.resolve_post_agg(node.arg, cur.scope) if post_agg
+               else self.resolve(node.arg, cur.scope, outer))
+        sub = self.plan_select(node.query, outer=None)
+        out_names = list(sub.columns)
+        assert len(out_names) == 1, "IN subquery must produce one column"
+        (out_name,) = out_names
+        dtype = sub.scope.resolve((out_name,))[1]
+        plan = P.PhysHashJoin(
+            cur.plan, sub.plan, (arg,),
+            (ir.ColumnRef(out_name, dtype),),
+            kind="anti" if negated else "semi", unique_build=False)
+        return Rel(plan, cur.scope, cur.columns, cur.unique_keys, cur.est)
+
+    def _apply_scalar_compare(self, cur: Rel, other: ast.Node, op: str,
+                              q: ast.Select, negated: bool, outer,
+                              post_agg: bool) -> Rel:
+        # resolve the outer operand FIRST: planning the subquery below may
+        # re-enter apply_aggregation and clobber this planner's agg state
+        oth = (self.resolve_post_agg(other, cur.scope) if post_agg
+               else self.resolve(other, cur.scope, outer))
+        parts = SubqueryParts(self, q, cur.scope)
+        if not parts.corr_eq and not parts.corr_other:
+            # uncorrelated scalar → bind as broadcast column
+            sub = self.plan_select(q, outer=None)
+            name = self.fresh("scalar")
+            (scol,) = list(sub.columns)
+            dtype = sub.scope.resolve((scol,))[1]
+            bind = P.PhysScalarBind(cur.plan, ((name, sub.plan),))
+            pred = ir.Compare(op, oth, ir.ColumnRef(name, dtype))
+            if negated:
+                pred = ir.Not(pred)
+            plan = P.PhysFilter(bind, pred)
+            return Rel(plan, cur.scope, cur.columns, cur.unique_keys, cur.est)
+
+        assert not parts.corr_other, "non-equi correlated scalar subquery"
+        # correlated scalar aggregate → group by correlation keys + join
+        inner = self.build_join_tree(parts.rels, parts.inner_conjuncts)
+        for c in parts.extra_subqueries:
+            inner = self.apply_subquery_conjunct(inner, c, parts.scope_for_inner)
+        # build aggregate over the subquery's single select item
+        assert len(q.items) == 1
+        self._agg_specs = []
+        self._agg_map = {}
+        self._cur_scope = inner.scope
+        self._cur_outer = None
+        self._group_map = {}
+        groups = []
+        post_scope = Scope()
+        self._post_scope = post_scope
+        for i, (o, inner_key) in enumerate(parts.corr_eq):
+            assert isinstance(inner_key, ir.ColumnRef), "non-column corr key"
+            groups.append((inner_key.name, inner_key))
+            post_scope.add(None, inner_key.name, inner_key.name,
+                           inner_key.dtype)
+            self._group_map[inner_key] = (inner_key.name, inner_key.dtype)
+        val_expr = self.resolve_post_agg(q.items[0].expr, post_scope)
+        val_name = self.fresh("sq")
+        agg = P.PhysHashAggregate(
+            inner.plan, tuple(groups), tuple(self._agg_specs),
+            ndv_hint=int(min(inner.est, 1 << 20)))
+        proj = P.PhysProject(agg, tuple(
+            [(n, ir.ColumnRef(n, e.dtype)) for n, e in groups]
+            + [(val_name, val_expr)]))
+        probe_keys = tuple(self._strip_outer(o) for o, _ in parts.corr_eq)
+        build_keys = tuple(ir.ColumnRef(n, e.dtype) for n, e in groups)
+        payload = ((val_name, val_name),)
+        join = P.PhysHashJoin(cur.plan, proj, probe_keys, build_keys,
+                              kind="inner", unique_build=True,
+                              build_payload=payload)
+        pred = ir.Compare(op, oth, ir.ColumnRef(val_name, val_expr.dtype))
+        if negated:
+            pred = ir.Not(pred)
+        plan = P.PhysFilter(join, pred)
+        return Rel(plan, cur.scope, cur.columns | {val_name},
+                   cur.unique_keys, cur.est)
+
+    def _strip_outer(self, e: ir.Expr) -> ir.Expr:
+        if isinstance(e, ir.ColumnRef):
+            return ir.ColumnRef(e.name, e._dtype, False)
+        if isinstance(e, ir.Compare):
+            return ir.Compare(e.op, self._strip_outer(e.left),
+                              self._strip_outer(e.right))
+        if isinstance(e, ir.Logical):
+            return ir.Logical(e.op, tuple(self._strip_outer(a) for a in e.args))
+        if isinstance(e, ir.Not):
+            return ir.Not(self._strip_outer(e.arg))
+        if isinstance(e, ir.Arith):
+            return ir.Arith(e.op, self._strip_outer(e.left),
+                            self._strip_outer(e.right), e._dtype)
+        return e
+
+
+class SubqueryParts:
+    """Planned FROM + conjunct classification for a (possibly correlated)
+    subquery: inner conjuncts, correlated equalities, other correlated
+    predicates, and nested subquery conjuncts."""
+
+    def __init__(self, planner: Planner, q: ast.Select, outer_scope: Scope):
+        assert not q.group_by and q.having is None, \
+            "correlated subquery with GROUP BY unsupported"
+        self.rels: List[Rel] = []
+        on_cons: List[ast.Node] = []
+
+        def add(r):
+            if isinstance(r, ast.TableRef):
+                self.rels.append(planner.plan_table(r))
+            elif isinstance(r, ast.SubqueryRef):
+                sub = planner.plan_select(r.query, outer=None)
+                self.rels.append(planner._aliased_subquery(sub, r.alias))
+            elif isinstance(r, ast.JoinRef) and r.kind in ("inner", "cross"):
+                add(r.left)
+                add(r.right)
+                if r.on is not None:
+                    on_cons.extend(planner.split_and(r.on))
+            else:
+                raise NotImplementedError
+
+        for r in q.from_:
+            add(r)
+        scope = self.rels[0].scope
+        for r in self.rels[1:]:
+            scope = scope.merged(r.scope)
+        self.scope_for_inner = scope
+
+        cons = planner.split_and(q.where) + on_cons
+        self.extra_subqueries = [c for c in cons
+                                 if planner._contains_subquery(c)]
+        plain = [c for c in cons if not planner._contains_subquery(c)]
+
+        self.inner_conjuncts: List[ir.Expr] = []
+        self.corr_eq: List[Tuple[ir.Expr, ir.ColumnRef]] = []  # (outer, inner)
+        self.corr_other: List[ir.Expr] = []
+        for c in plain:
+            e = planner.resolve(c, scope, outer_scope)
+            outs = [x for x in ir.walk(e)
+                    if isinstance(x, ir.ColumnRef) and x.outer]
+            if not outs:
+                self.inner_conjuncts.append(e)
+                continue
+            if isinstance(e, ir.Compare) and e.op == "=":
+                lo = isinstance(e.left, ir.ColumnRef) and e.left.outer
+                ro = isinstance(e.right, ir.ColumnRef) and e.right.outer
+                if lo and not any(isinstance(x, ir.ColumnRef) and x.outer
+                                  for x in ir.walk(e.right)):
+                    self.corr_eq.append((e.left, e.right))
+                    continue
+                if ro and not any(isinstance(x, ir.ColumnRef) and x.outer
+                                  for x in ir.walk(e.left)):
+                    self.corr_eq.append((e.right, e.left))
+                    continue
+            self.corr_other.append(e)
+
+
+def _parse_type(name: str) -> T.DataType:
+    name = name.lower()
+    if name in ("bigint", "integer", "int"):
+        return T.BIGINT
+    if name == "double":
+        return T.DOUBLE
+    if name == "date":
+        return T.DATE
+    if name.startswith("decimal"):
+        if "(" in name:
+            inner = name[name.index("(") + 1:-1]
+            p, s = (inner.split(",") + ["0"])[:2]
+            return T.decimal(int(p), int(s))
+        return T.decimal(38, 0)
+    if name.startswith("varchar"):
+        return T.varchar()
+    raise NotImplementedError(f"type {name}")

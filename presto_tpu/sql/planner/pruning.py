@@ -1,0 +1,86 @@
+"""Column pruning over physical plans.
+
+The role of the reference's ``PruneUnreferencedOutputs`` +
+``PruneTableScanColumns`` optimizer rules: walk the plan top-down computing
+the required column set, trim scan lists, projections, and join payloads.
+Because generation is per-column, a pruned scan never materializes unused
+columns at all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Set
+
+from ...exec import physical as P
+from .. import ir
+
+
+def _refs(*exprs) -> Set[str]:
+    out: Set[str] = set()
+    for e in exprs:
+        if e is None:
+            continue
+        out.update(ir.referenced_columns(e))
+    return out
+
+
+def prune(plan: P.PhysOp, required: Optional[Set[str]] = None) -> P.PhysOp:
+    """Mutates the plan in place; ``required=None`` keeps all outputs."""
+    if isinstance(plan, P.PhysScan):
+        if required is not None:
+            pfx = plan.alias_prefix
+            keep = []
+            for c in plan.columns:
+                if pfx + c in required:
+                    keep.append(c)
+            plan.columns = tuple(keep) or plan.columns[:1]
+        return plan
+    if isinstance(plan, P.PhysFilter):
+        child_req = None if required is None else \
+            set(required) | _refs(plan.predicate)
+        prune(plan.child, child_req)
+        return plan
+    if isinstance(plan, P.PhysProject):
+        if required is not None:
+            kept = tuple((n, e) for n, e in plan.projections if n in required)
+            plan.projections = kept or plan.projections[:1]
+        prune(plan.child, _refs(*(e for _, e in plan.projections)))
+        return plan
+    if isinstance(plan, P.PhysHashAggregate):
+        if required is not None:
+            plan.aggs = tuple(s for s in plan.aggs if s.name in required) \
+                or plan.aggs
+        child_req = _refs(*(e for _, e in plan.groups),
+                          *(s.arg for s in plan.aggs))
+        prune(plan.child, child_req or None)
+        return plan
+    if isinstance(plan, P.PhysHashJoin):
+        filt = _refs(plan.filter)
+        if required is not None:
+            plan.build_payload = tuple(
+                (o, b) for o, b in plan.build_payload
+                if o in required or o in filt)
+        payload_outs = {o for o, _ in plan.build_payload}
+        probe_req = None if required is None else (
+            (set(required) - payload_outs) | _refs(*plan.probe_keys) | filt)
+        build_req = (_refs(*plan.build_keys)
+                     | {b for _, b in plan.build_payload} | filt)
+        prune(plan.probe, probe_req)
+        prune(plan.build, build_req)
+        return plan
+    if isinstance(plan, P.PhysSort):
+        child_req = None if required is None else \
+            set(required) | _refs(*(e for e, _ in plan.keys))
+        prune(plan.child, child_req)
+        return plan
+    if isinstance(plan, P.PhysLimit):
+        prune(plan.child, required)
+        return plan
+    if isinstance(plan, P.PhysScalarBind):
+        bound = {n for n, _ in plan.bindings}
+        child_req = None if required is None else set(required) - bound
+        prune(plan.child, child_req)
+        for _, sub in plan.bindings:
+            prune(sub, None)
+        return plan
+    raise NotImplementedError(type(plan).__name__)

@@ -126,3 +126,47 @@ class TpchCatalog:
 
 
 CATALOG = TpchCatalog()
+
+# table-name prefix on physical column names; the analyzer also accepts the
+# reference connector's stripped names ("shipdate" for "l_shipdate",
+# plugin/trino-tpch/.../TpchMetadata naming)
+COLUMN_PREFIXES = {
+    "region": "r_", "nation": "n_", "supplier": "s_", "customer": "c_",
+    "part": "p_", "partsupp": "ps_", "orders": "o_", "lineitem": "l_",
+}
+
+# primary keys (for unique-build join detection)
+PRIMARY_KEYS = {
+    "region": ("r_regionkey",), "nation": ("n_nationkey",),
+    "supplier": ("s_suppkey",), "customer": ("c_custkey",),
+    "part": ("p_partkey",), "partsupp": ("ps_partkey", "ps_suppkey"),
+    "orders": ("o_orderkey",), "lineitem": ("l_orderkey", "l_linenumber"),
+}
+
+
+def ndv_estimate(table: str, column: str, sf: float) -> int:
+    """Rough distinct-count estimates for capacity hints (the CBO-stat role
+    of the bundled ground-truth stats in
+    ``plugin/trino-tpch/src/main/resources/tpch/statistics/``)."""
+    rows = CATALOG.row_count(TableHandle(table, sf))
+    keyish = {
+        "l_orderkey": int(1_500_000 * sf), "o_orderkey": int(1_500_000 * sf),
+        "l_partkey": int(200_000 * sf), "ps_partkey": int(200_000 * sf),
+        "p_partkey": int(200_000 * sf),
+        "l_suppkey": int(10_000 * sf), "ps_suppkey": int(10_000 * sf),
+        "s_suppkey": int(10_000 * sf),
+        "o_custkey": int(100_000 * sf), "c_custkey": int(150_000 * sf),
+    }
+    if column in keyish:
+        return max(keyish[column], 1)
+    if column.endswith("nationkey"):
+        return 25
+    if column.endswith("regionkey"):
+        return 5
+    if column.endswith("date"):
+        return 2600
+    if column in ("l_returnflag", "l_linestatus", "o_orderstatus"):
+        return 3
+    if column in ("l_quantity", "p_size"):
+        return 50
+    return max(min(rows, 3000), 1)
