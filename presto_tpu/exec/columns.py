@@ -119,7 +119,7 @@ class Chunk:
     mask: jnp.ndarray  # bool [N]
 
     def tree_flatten(self):
-        names = tuple(sorted(self.cols))
+        names = tuple(self.cols)  # preserve insertion (projection) order
         return (tuple(self.cols[n] for n in names) + (self.mask,), names)
 
     @classmethod
