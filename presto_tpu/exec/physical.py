@@ -254,29 +254,32 @@ def _exec_limit(child: Chunk, n: int) -> Chunk:
     return Chunk(cols, child.mask[:n])
 
 
+def _sort_traced(chunk: Chunk, keys) -> Chunk:
+    """Traced sort body (shared by local jit path and shard_map path)."""
+    karrs: List[Tuple[jnp.ndarray, bool]] = []
+    for e, desc in keys:
+        c = eval_expr(e, chunk)
+        if c.kind == BYTES:
+            for p in SORT.bytes_sort_keys(c.values, c.lengths):
+                karrs.append((p, desc))
+        elif c.kind == DICT:
+            # order by string value: host-computed rank of each code
+            rank = np.argsort(np.argsort(
+                [str(s) for s in c.dictionary.strings]))
+            karrs.append((jnp.asarray(rank)[c.values], desc))
+        else:
+            karrs.append((c.values, desc))
+    perm = SORT.argsort_multi(karrs, chunk.mask)
+    cols = {n: c.take(perm) for n, c in chunk.cols.items()}
+    return Chunk(cols, chunk.mask[perm])
+
+
+_sort_kernel = partial(jax.jit, static_argnames=("keys",))(_sort_traced)
+
+
 def _exec_sort(plan: PhysSort, ctx: ExecContext) -> Chunk:
     child = execute(plan.child, ctx)
-
-    @partial(jax.jit, static_argnames=("keys",))
-    def kernel(chunk: Chunk, keys) -> Chunk:
-        karrs: List[Tuple[jnp.ndarray, bool]] = []
-        for e, desc in keys:
-            c = eval_expr(e, chunk)
-            if c.kind == BYTES:
-                for p in SORT.bytes_sort_keys(c.values, c.lengths):
-                    karrs.append((p, desc))
-            elif c.kind == DICT:
-                # order by string value: host-computed rank of each code
-                rank = np.argsort(np.argsort(
-                    [str(s) for s in c.dictionary.strings]))
-                karrs.append((jnp.asarray(rank)[c.values], desc))
-            else:
-                karrs.append((c.values, desc))
-        perm = SORT.argsort_multi(karrs, chunk.mask)
-        cols = {n: c.take(perm) for n, c in chunk.cols.items()}
-        return Chunk(cols, chunk.mask[perm])
-
-    out = kernel(child, plan.keys)
+    out = _sort_kernel(child, plan.keys)
     if plan.limit is not None:
         out = _exec_limit(out, plan.limit)
     return out

@@ -715,19 +715,36 @@ class Planner:
             (a, b), keys = min(
                 edges.items(),
                 key=lambda kv: min(comps[kv[0][0]].est, comps[kv[0][1]].est))
-            probe_i, build_i = (a, b) if comps[a].est >= comps[b].est else (b, a)
-            probe, build = comps[probe_i], comps[build_i]
-            pk = []
-            bk = []
-            for l, r in keys:
-                if set(ir.referenced_columns(l)) <= probe.columns:
-                    pk.append(l)
-                    bk.append(r)
+            def orient(probe_i, build_i):
+                probe, build = comps[probe_i], comps[build_i]
+                pk, bk = [], []
+                for l, r in keys:
+                    if set(ir.referenced_columns(l)) <= probe.columns:
+                        pk.append(l)
+                        bk.append(r)
+                    else:
+                        pk.append(r)
+                        bk.append(l)
+                bset = frozenset(c for e in bk
+                                 for c in ir.referenced_columns(e))
+                unique = any(u <= bset for u in build.unique_keys)
+                return probe, build, pk, bk, unique
+
+            # prefer the orientation whose build side has unique keys
+            # (PK side builds — keeps probes static-shape and lets the
+            # distributed path broadcast; DetermineJoinDistributionType +
+            # JoinNode flipping in the reference)
+            small_first = (a, b) if comps[a].est >= comps[b].est else (b, a)
+            probe, build, pk, bk, unique = orient(*small_first)
+            if not unique:
+                p2, b2, pk2, bk2, u2 = orient(*reversed(small_first))
+                if u2:
+                    probe, build, pk, bk, unique = p2, b2, pk2, bk2, u2
+                    probe_i, build_i = tuple(reversed(small_first))
                 else:
-                    pk.append(r)
-                    bk.append(l)
-            bset = frozenset(c for e in bk for c in ir.referenced_columns(e))
-            unique = any(u <= bset for u in build.unique_keys)
+                    probe_i, build_i = small_first
+            else:
+                probe_i, build_i = small_first
             payload = tuple((c, c) for c in sorted(build.columns))
             plan = P.PhysHashJoin(
                 probe.plan, build.plan, tuple(pk), tuple(bk),

@@ -1,0 +1,90 @@
+"""Distributed execution over an 8-virtual-device CPU mesh vs local results.
+
+The DistributedQueryRunner analogue (``testing/trino-testing/.../
+DistributedQueryRunner.java:72``): same queries, sharded tables, one
+jit(shard_map) program; results must equal the single-device path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from presto_tpu.exec.runner import LocalRunner
+from presto_tpu.parallel import distributed as D
+from presto_tpu.tpch.queries import QUERIES
+
+SF = 0.01
+
+# expansion-free queries supported by the traced distributed path this round
+DIST_QUERIES = [1, 3, 5, 6, 12, 14, 19]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return D.make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def local():
+    return LocalRunner(scale_factor=SF)
+
+
+@pytest.fixture(scope="module")
+def dist(mesh):
+    return D.DistributedRunner(mesh, SF)
+
+
+def _norm(df: pd.DataFrame):
+    return sorted(repr(tuple(t)) for t in df.itertuples(index=False))
+
+
+@pytest.mark.parametrize("qid", DIST_QUERIES)
+def test_distributed_matches_local(qid, mesh, local, dist):
+    exp = local.run_sql(QUERIES[qid]).to_pandas()
+    got = dist.run_sql(QUERIES[qid]).to_pandas()
+    assert _norm(got) == _norm(exp), f"Q{qid} distributed mismatch"
+
+
+def test_repartition_roundtrip(mesh):
+    """FIXED_HASH exchange: all rows arrive, each key lands on one device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from presto_tpu.exec.columns import Chunk, DCol
+    from presto_tpu.data import types as T
+    from presto_tpu.data.column import PLAIN
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 100, n).astype(np.int64)
+    vals = rng.integers(-1000, 1000, n).astype(np.int64)
+    mask = rng.random(n) < 0.9
+    sh = NamedSharding(mesh, P("d"))
+    karr = jax.device_put(keys, sh)
+    varr = jax.device_put(vals, sh)
+    marr = jax.device_put(mask, sh)
+
+    def stage(k, v, m):
+        chunk = Chunk({"k": DCol(T.BIGINT, PLAIN, k),
+                       "v": DCol(T.BIGINT, PLAIN, v)}, m)
+        out = D.repartition(chunk, [k], slack=8)
+        # per-device sums of received (masked) rows
+        s = jnp.sum(jnp.where(out.mask, out.cols["v"].values, 0))
+        c = jnp.sum(out.mask)
+        kk = jnp.where(out.mask, out.cols["k"].values, -1)
+        return s[None], c[None], kk
+
+    fn = shard_map(stage, mesh=mesh, in_specs=(P("d"), P("d"), P("d")),
+                   out_specs=(P("d"), P("d"), P("d")))
+    s, c, kk = jax.jit(fn)(karr, varr, marr)
+    assert int(np.sum(np.asarray(c))) == int(mask.sum())
+    assert int(np.sum(np.asarray(s))) == int(vals[mask].sum())
+    # each key appears on exactly one device
+    per_dev = np.asarray(kk).reshape(8, -1)
+    seen = {}
+    for d in range(8):
+        for k in np.unique(per_dev[d]):
+            if k < 0:
+                continue
+            assert seen.setdefault(int(k), d) == d
