@@ -93,14 +93,20 @@ def repartition(chunk: Chunk, keys: Sequence[jnp.ndarray],
     ok = (sorted_dest < nd) & (pos < cap)
     slot = jnp.where(ok, sorted_dest * cap + pos, nd * cap)
 
-    def xchg(x, fill=0):
-        buck = jnp.full((nd * cap,) + x.shape[1:], fill, x.dtype)
-        buck = buck.at[slot].set(x[order], mode="drop")
-        return jax.lax.all_to_all(buck.reshape((nd, cap) + x.shape[1:]),
-                                  "d", 0, 0, tiled=True) \
-            .reshape((nd * cap,) + x.shape[1:])
+    def xchg_sorted(x_sorted, fill=0):
+        """x_sorted is already in dest-sorted row order (aligned with slot)."""
+        buck = jnp.full((nd * cap,) + x_sorted.shape[1:], fill, x_sorted.dtype)
+        buck = buck.at[slot].set(x_sorted, mode="drop")
+        return jax.lax.all_to_all(
+            buck.reshape((nd, cap) + x_sorted.shape[1:]),
+            "d", 0, 0, tiled=True).reshape((nd * cap,) + x_sorted.shape[1:])
 
-    new_mask = xchg(chunk.mask & ok, fill=False)
+    def xchg(x, fill=0):
+        return xchg_sorted(x[order], fill)
+
+    # rows with dest < nd are masked-in by construction, so the received
+    # mask is just "slot was filled by an in-range row"
+    new_mask = xchg_sorted(ok, fill=False)
     cols = {}
     for name, c in chunk.cols.items():
         cols[name] = DCol(
