@@ -32,12 +32,18 @@ SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
 RUNS = 20
 
 
+def _force(out):
+    """Host readback of (tiny) outputs: completion fences can be optimistic
+    through device tunnels, so timing must include a data dependency."""
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
 def median_time(fn, *args):
-    fn(*args)  # warmup (compile)
+    _force(fn(*args))  # warmup (compile)
     times = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 

@@ -45,8 +45,61 @@ class LocalRunner:
         plan = Planner(self.datasource.sf).plan(query)
         return prune(plan, None)
 
-    def run_sql(self, sql: str) -> Table:
-        return self.run_physical(self.plan_sql(sql))
+    def run_sql(self, sql: str, fused: Optional[bool] = None) -> Table:
+        plan = self.plan_sql(sql)
+        if fused is not False:
+            try:
+                return self.run_physical_fused(plan)
+            except NotImplementedError:
+                if fused:
+                    raise
+        return self.run_physical(plan)
+
+    def run_physical_fused(self, plan: PhysOp) -> Table:
+        """Compile the WHOLE query into one XLA program (the design point:
+        the reference compiles per-query bytecode for inner loops; we
+        compile the entire dataflow — no per-operator dispatch, no
+        intermediate HBM round-trips beyond pipeline breakers).
+
+        Falls back (NotImplementedError) for plans with expansion joins or
+        distinct aggregates; group capacities are static bounds with an
+        overflow flag checked on the host, doubling hints and recompiling
+        when an estimate was too low.
+        """
+        import jax
+        from ..parallel.distributed import TraceCtx, execute_traced, _collect_scans
+
+        tables = {}
+        _collect_scans(plan, tables)
+        shard_vals = {}
+        meta = {}
+        masks = {}
+        import jax.numpy as jnp
+        for table, cols in tables.items():
+            chunk = self.datasource.scan(table, sorted(cols))
+            for name, dc in chunk.cols.items():
+                shard_vals[(table, name)] = (dc.values, dc.lengths)
+                meta[(table, name)] = (dc.dtype, dc.kind, dc.dictionary)
+            masks[table] = chunk.mask
+
+        from ..exec.columns import DCol
+
+        mult = 1
+        while True:
+            def stage(vals, msks, mult=mult):
+                shards = {
+                    k: DCol(meta[k][0], meta[k][1], v, l, None, meta[k][2])
+                    for k, (v, l) in vals.items()}
+                ctx = TraceCtx(shards, msks, self.datasource.sf,
+                               single=True, cap_multiplier=mult, overflow=[])
+                out, _ = execute_traced(plan, ctx)
+                ovf = (jnp.stack(ctx.overflow).any() if ctx.overflow
+                       else jnp.bool_(False))
+                return out, ovf
+            out_chunk, overflow = jax.jit(stage)(shard_vals, masks)
+            if not bool(overflow):
+                return materialize(out_chunk)
+            mult *= 8
 
 
 def materialize(chunk: Chunk) -> Table:

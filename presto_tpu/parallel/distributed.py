@@ -126,6 +126,12 @@ class TraceCtx:
     sf: float
     agg_cap_limit: int = 1 << 22
     bcast_threshold: int = 1 << 31           # always broadcast this round
+    single: bool = False                     # no mesh: gathers are identity
+    cap_multiplier: int = 1                  # host doubles on agg overflow
+    overflow: list = None                    # collected per-agg overflow flags
+
+    def gather(self, chunk: Chunk) -> Chunk:
+        return chunk if self.single else allgather_chunk(chunk)
 
 
 def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
@@ -157,14 +163,14 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
         return _traced_agg(plan, ctx)
     if isinstance(plan, PH.PhysSort):
         child, rep = execute_traced(plan.child, ctx)
-        gathered = child if rep else allgather_chunk(child)
+        gathered = child if rep else ctx.gather(child)
         out = PH._sort_traced(gathered, plan.keys)
         if plan.limit is not None and plan.limit < out.n_rows:
             out = PH._exec_limit(out, plan.limit)
         return out, True
     if isinstance(plan, PH.PhysLimit):
         child, rep = execute_traced(plan.child, ctx)
-        gathered = child if rep else allgather_chunk(child)
+        gathered = child if rep else ctx.gather(child)
         return PH._exec_limit(gathered, plan.n), True
     if isinstance(plan, PH.PhysScalarBind):
         child, rep = execute_traced(plan.child, ctx)
@@ -185,14 +191,17 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
 
 
 def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
-    if not (plan.unique_build and plan.filter is None
-            and plan.kind in ("inner", "left", "semi", "anti")) and \
-       not (plan.kind in ("semi", "anti") and plan.filter is None):
+    supported = (
+        (plan.unique_build and plan.filter is None
+         and plan.kind in ("inner", "left", "semi", "anti"))
+        or (plan.kind in ("semi", "anti") and plan.filter is None)
+        or (plan.kind in ("semi", "anti")))  # filtered semi/anti: chain walk
+    if not supported:
         raise NotImplementedError(
             "distributed expansion/filtered joins fall back to local path")
     probe, prep = execute_traced(plan.probe, ctx)
     build_local, brep = execute_traced(plan.build, ctx)
-    build = build_local if brep else allgather_chunk(build_local)  # BROADCAST
+    build = build_local if brep else ctx.gather(build_local)  # BROADCAST
     capacity = HT.capacity_for(build.n_rows)  # static bound ⇒ no overflow
     table = PH._build_kernel(build, plan.build_keys, capacity)
     if plan.kind in ("semi", "anti") or plan.unique_build:
@@ -201,23 +210,184 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
                                           plan.probe_keys,
                                           plan.build_payload,
                                           plan.kind), prep
-        slot = PH._probe_counts_kernel(table, probe, plan.probe_keys)[0]
-        found = slot >= 0
-        mask = probe.mask & (found if plan.kind == "semi" else ~found)
+        if plan.filter is None:
+            slot = PH._probe_counts_kernel(table, probe, plan.probe_keys)[0]
+            found = slot >= 0
+            mask = probe.mask & (found if plan.kind == "semi" else ~found)
+            return Chunk(dict(probe.cols), mask), prep
+        hit = _chain_walk_exists(plan, probe, build, table)
+        mask = probe.mask & (hit if plan.kind == "semi" else ~hit)
         return Chunk(dict(probe.cols), mask), prep
     raise NotImplementedError
 
 
+def _try_chain_walk_join_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
+    """Aggregation over an expanding (non-unique-build) join WITHOUT pair
+    materialization: accumulate each aggregate per probe row while walking
+    the CSR duplicate chains, then aggregate the per-row partials.
+
+    Covers Agg(LeftJoin/InnerJoin) where group keys are probe-side (Q13's
+    customer ⟕ orders → count per customer).  The reference materializes
+    every joined row through LookupJoinPageBuilder; here fan-out never
+    touches memory."""
+    join = plan.child
+    if not isinstance(join, PH.PhysHashJoin):
+        return None
+    if join.kind not in ("left", "inner") or join.unique_build:
+        return None
+    if any(s.distinct for s in plan.aggs):
+        return None
+    if any(s.func == "avg" for s in plan.aggs):
+        return None
+    payload_names = {o for o, _ in join.build_payload}
+    for _, e in plan.groups:
+        if set(ir.referenced_columns(e)) & payload_names:
+            return None  # group keys must be probe-side
+
+    probe, prep = execute_traced(join.probe, ctx)
+    build_local, brep = execute_traced(join.build, ctx)
+    build = build_local if brep or ctx.single else allgather_chunk(build_local)
+    capacity = HT.capacity_for(build.n_rows)
+    table = PH._build_kernel(build, join.build_keys, capacity)
+    slot, cnt = PH._probe_counts_kernel(table, probe, join.probe_keys)
+    slot_cl = jnp.maximum(slot, 0)
+    base = table.offsets[slot_cl]
+    maxc = jnp.max(jnp.where(probe.mask, cnt, 0))
+    n = probe.n_rows
+
+    # accumulators per agg spec
+    init = {}
+    for spec in plan.aggs:
+        if spec.func in ("count", "count_star"):
+            init[spec.name] = jnp.zeros((n,), jnp.int64)
+        elif spec.func == "sum":
+            init[spec.name] = jnp.zeros((n,), jnp.int64)
+        elif spec.func == "min":
+            init[spec.name] = jnp.full((n,), A.I64_MAX, jnp.int64)
+        elif spec.func == "max":
+            init[spec.name] = jnp.full((n,), A.I64_MIN, jnp.int64)
+        else:
+            return None
+    init["#matches"] = jnp.zeros((n,), jnp.int64)
+
+    def body(state):
+        k, acc = state
+        cand = table.rows_csr[
+            jnp.minimum(base + k, table.rows_csr.shape[0] - 1)]
+        alive = probe.mask & (k < cnt)
+        cols = dict(probe.cols)
+        for out_name, bcol in join.build_payload:
+            cols[out_name] = build.cols[bcol].take(cand, valid=alive)
+        pair = Chunk(cols, alive)
+        if join.filter is not None:
+            alive = eval_predicate(join.filter, pair) & alive
+            pair = Chunk(cols, alive)
+        acc = dict(acc)
+        acc["#matches"] = acc["#matches"] + alive.astype(jnp.int64)
+        for spec in plan.aggs:
+            if spec.func == "count_star":
+                acc[spec.name] = acc[spec.name] + alive.astype(jnp.int64)
+                continue
+            c = eval_expr(spec.arg, pair)
+            ok = alive & c.valid_or_true()
+            v = c.values.astype(jnp.int64)
+            if spec.func in ("count",):
+                acc[spec.name] = acc[spec.name] + ok.astype(jnp.int64)
+            elif spec.func == "sum":
+                acc[spec.name] = acc[spec.name] + jnp.where(ok, v, 0)
+            elif spec.func == "min":
+                acc[spec.name] = jnp.minimum(
+                    acc[spec.name], jnp.where(ok, v, A.I64_MAX))
+            elif spec.func == "max":
+                acc[spec.name] = jnp.maximum(
+                    acc[spec.name], jnp.where(ok, v, A.I64_MIN))
+        return k + 1, acc
+
+    _, acc = jax.lax.while_loop(lambda st: st[0] < maxc, body,
+                                (jnp.int32(0), init))
+
+    matched = acc["#matches"] > 0
+    # probe-row mask: inner join drops unmatched rows; left join keeps them
+    row_mask = probe.mask & (matched if join.kind == "inner" else True)
+    partial_cols = dict(probe.cols)
+    new_specs = []
+    for spec in plan.aggs:
+        pname = f"{spec.name}#p"
+        if spec.func == "count_star" and join.kind == "left":
+            # unmatched probe row contributes one (null) joined row
+            vals = jnp.where(matched, acc[spec.name], 1)
+            partial_cols[pname] = DCol(T.BIGINT, PLAIN, vals)
+            new_specs.append(PH.AggSpec(spec.name, "sum",
+                                        ir.ColumnRef(pname, T.BIGINT)))
+            continue
+        ot = PH._agg_output_type(spec)
+        validity = None if spec.func in ("count", "count_star") else matched
+        partial_cols[pname] = DCol(
+            ot if spec.func != "count" else T.BIGINT, PLAIN,
+            acc[spec.name], validity=validity)
+        outer_func = {"count": "sum", "count_star": "sum",
+                      "sum": "sum", "min": "min", "max": "max"}[spec.func]
+        new_specs.append(PH.AggSpec(spec.name, outer_func,
+                                    ir.ColumnRef(pname, ot)))
+    partial_chunk = Chunk(partial_cols, row_mask)
+    inner_plan = PH.PhysHashAggregate(None, plan.groups, tuple(new_specs),
+                                      plan.ndv_hint)
+    if prep or ctx.single:
+        return _replicated_local_agg(inner_plan, partial_chunk, ctx), \
+            (prep or ctx.single)
+    return _traced_partial_final_agg(inner_plan, partial_chunk, ctx)
+
+
+def _chain_walk_exists(plan: PH.PhysHashJoin, probe: Chunk, build: Chunk,
+                       table) -> jnp.ndarray:
+    """exists(match satisfying residual filter) per probe row, WITHOUT
+    materializing pairs: walk each probe row's CSR duplicate chain one
+    candidate per iteration, all rows in lockstep (iterations = longest
+    chain, e.g. max lineitems per order).  The TPU answer to the
+    reference's per-row joinCurrentPosition loop with join filters
+    (``operator/join/DefaultPageJoiner.java:265`` + JoinFilterFunction)."""
+    slot, cnt = PH._probe_counts_kernel(table, probe, plan.probe_keys)
+    slot_cl = jnp.maximum(slot, 0)
+    base = table.offsets[slot_cl]
+    maxc = jnp.max(jnp.where(probe.mask, cnt, 0))
+    payload = plan.build_payload
+
+    def body(state):
+        k, hit = state
+        cand = table.rows_csr[
+            jnp.minimum(base + k, table.rows_csr.shape[0] - 1)]
+        alive = probe.mask & (k < cnt)
+        cols = dict(probe.cols)
+        for out_name, bcol in payload:
+            cols[out_name] = build.cols[bcol].take(cand, valid=alive)
+        pair = Chunk(cols, alive)
+        ok = eval_predicate(plan.filter, pair) & alive
+        return k + 1, hit | ok
+
+    _, hit = jax.lax.while_loop(
+        lambda st: st[0] < maxc, body,
+        (jnp.int32(0), jnp.zeros((probe.n_rows,), jnp.bool_)))
+    return hit
+
+
 def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
+    walked = _try_chain_walk_join_agg(plan, ctx)
+    if walked is not None:
+        return walked
     child, crep = execute_traced(plan.child, ctx)
-    if crep:
-        # child already replicated: plain local aggregation is replicated
-        return _replicated_local_agg(plan, child), True
+    if crep or ctx.single:
+        # child already replicated (or no mesh): one-level aggregation
+        return _replicated_local_agg(plan, child, ctx), True
     if not plan.groups:
         # global aggregation: local partials then psum-style merge
         return _traced_global_agg(plan, child), True
-    assert not any(s.distinct for s in plan.aggs), \
-        "distributed count(distinct) not yet implemented"
+    return _traced_partial_final_agg(plan, child, ctx)
+
+
+def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
+                              ctx: TraceCtx):
+    if any(s.distinct for s in plan.aggs):
+        raise NotImplementedError("distributed count(distinct)")
     capacity = min(max(64, HT.capacity_for(plan.ndv_hint)),
                    HT.next_pow2(2 * child.n_rows), ctx.agg_cap_limit)
 
@@ -269,13 +439,17 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
     return Chunk(out_cols, gvalid2), True
 
 
-def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
+def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk,
+                          ctx: TraceCtx = None) -> Chunk:
     if not plan.groups:
         return PH._exec_global_agg(plan, child)
-    capacity = max(64, HT.capacity_for(min(plan.ndv_hint * 4,
+    mult = ctx.cap_multiplier if ctx is not None else 1
+    capacity = max(64, HT.capacity_for(min(plan.ndv_hint * 2 * mult,
                                            2 * child.n_rows)))
     group_exprs = tuple(e for _, e in plan.groups)
-    owner, slot, _ = PH._insert_kernel(child, group_exprs, capacity)
+    owner, slot, ovf = PH._insert_kernel(child, group_exprs, capacity)
+    if ctx is not None and ctx.overflow is not None:
+        ctx.overflow.append(ovf)
     # reuse the local finish logic shapes
     gvalid = owner != HT.EMPTY
     rep = jnp.minimum(owner, child.n_rows - 1)
@@ -283,9 +457,31 @@ def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
     for name, e in plan.groups:
         out[name] = eval_expr(e, child).take(rep, valid=gvalid)
     for spec in plan.aggs:
-        assert not spec.distinct, "distributed count(distinct) TODO"
-        out[spec.name] = PH._agg_col(spec, child, slot, capacity, gvalid)
+        if spec.distinct:
+            out[spec.name] = _traced_distinct_count(
+                spec, child, slot, capacity, gvalid, ctx)
+        else:
+            out[spec.name] = PH._agg_col(spec, child, slot, capacity, gvalid)
     return Chunk(out, gvalid)
+
+
+def _traced_distinct_count(spec, child, slot, capacity, gvalid, ctx):
+    """count(distinct x) per group: dedup (group, x) pairs with a second
+    insert fixpoint, then count surviving representatives per group."""
+    assert spec.func == "count", "only count(distinct) supported"
+    c = eval_expr(spec.arg, child)
+    pair_mask = child.mask & (slot >= 0) & c.valid_or_true()
+    pair_cap = HT.next_pow2(2 * child.n_rows)
+    owner2, _, ovf = HT.insert(
+        [slot.astype(jnp.int64), c.values.astype(jnp.int64)],
+        pair_mask, pair_cap)
+    if ctx is not None and ctx.overflow is not None:
+        ctx.overflow.append(ovf)
+    rep = jnp.minimum(owner2, child.n_rows - 1)
+    rep_valid = owner2 != HT.EMPTY
+    rep_group = jnp.where(rep_valid, slot[rep], -1)
+    cnt = A.seg_count(rep_group, rep_valid, capacity)
+    return DCol(T.BIGINT, PLAIN, cnt, validity=gvalid)
 
 
 def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
