@@ -17,8 +17,10 @@ partitioning planner (``sql/planner/optimizations/AddExchanges.java``):
   (``PushPartialAggregationThroughExchange``): per-device partial states,
   gathered or hash-repartitioned, then merged
 
-Traced limitations this round (documented): expansion joins (non-unique
-build with payload) and left joins fall back to the single-device path.
+All 22 TPC-H queries execute distributed: expanding joins that feed
+aggregations use chain-walking accumulation (no pair materialization);
+filtered semi/anti joins walk CSR chains; distinct aggregation goes through
+a FIXED_HASH repartition so each group is device-local.
 """
 
 from __future__ import annotations
@@ -387,7 +389,13 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
 def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
                               ctx: TraceCtx):
     if any(s.distinct for s in plan.aggs):
-        raise NotImplementedError("distributed count(distinct)")
+        # FIXED_HASH aggregation: repartition rows by group-key hash so each
+        # group lands wholly on one device, aggregate locally (including
+        # distinct dedup), then replicate the disjoint partial outputs
+        gkeys = PH._key_arrays(child, tuple(e for _, e in plan.groups))
+        routed = repartition(child, gkeys, slack=4)
+        local = _replicated_local_agg(plan, routed, ctx)
+        return allgather_chunk(local), True
     capacity = min(max(64, HT.capacity_for(plan.ndv_hint)),
                    HT.next_pow2(2 * child.n_rows), ctx.agg_cap_limit)
 
@@ -543,6 +551,19 @@ def _finalize_agg(spec: PH.AggSpec, merged: Dict[str, DCol]) -> DCol:
 
 
 def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
+    # expand avg into partial sum/count specs (the reference's PARTIAL step)
+    orig_aggs = plan.aggs
+    expanded = []
+    avg_specs = []
+    for spec in plan.aggs:
+        if spec.func == "avg":
+            avg_specs.append(spec)
+            expanded.append(PH.AggSpec(f"{spec.name}#sum", "sum", spec.arg))
+            expanded.append(PH.AggSpec(f"{spec.name}#cnt", "count", spec.arg))
+        else:
+            expanded.append(spec)
+    plan = PH.PhysHashAggregate(plan.child, plan.groups, tuple(expanded),
+                                plan.ndv_hint)
     local = PH._exec_global_agg(plan, child)
     # merge single-row partials across devices
     gathered = allgather_chunk(local)
@@ -557,11 +578,22 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
         elif spec.func == "max":
             v = A.g_max(c.values, m)[None]
         elif spec.func == "avg":
-            raise NotImplementedError(
-                "distributed global avg needs partial sum/count split")
+            continue  # handled below from partial sum/count
         out[spec.name] = DCol(c.dtype, PLAIN, v,
                               validity=m.any()[None])
-    return Chunk(out, jnp.ones((1,), jnp.bool_))
+    for spec in avg_specs:
+        ssum = out.pop(f"{spec.name}#sum")
+        scnt = out.pop(f"{spec.name}#cnt")
+        ot = PH._agg_output_type(spec)
+        cnt = jnp.maximum(scnt.values, 1)
+        if T.is_decimal(spec.arg.dtype):
+            v = DEC.div_round_half_up(ssum.values, cnt)
+        else:
+            v = ssum.values.astype(jnp.float64) / cnt
+        out[spec.name] = DCol(ot, PLAIN, v, validity=scnt.values > 0)
+    # preserve the plan's original output order
+    ordered = {sp.name: out[sp.name] for sp in orig_aggs}
+    return Chunk(ordered, jnp.ones((1,), jnp.bool_))
 
 
 # ---------------------------------------------------------------- runner

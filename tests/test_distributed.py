@@ -17,8 +17,8 @@ from presto_tpu.tpch.queries import QUERIES
 
 SF = 0.01
 
-# expansion-free queries supported by the traced distributed path this round
-DIST_QUERIES = [1, 3, 5, 6, 12, 14, 19]
+# all 22 queries run through the traced distributed path
+DIST_QUERIES = list(range(1, 23))
 
 
 @pytest.fixture(scope="module")
