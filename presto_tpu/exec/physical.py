@@ -202,9 +202,32 @@ class ExecContext:
     compact_threshold: float = 0.25         # compact when selectivity below
     min_rows_for_compaction: int = 1 << 14
     stats: Dict[str, float] = field(default_factory=dict)
+    collect_stats: bool = False             # EXPLAIN ANALYZE mode
+    node_stats: Dict[int, dict] = field(default_factory=dict)
 
 
 def execute(plan: PhysOp, ctx: ExecContext) -> Chunk:
+    """Operator-at-a-time execution with optional per-node stats
+    (the reference's OperationTimer per getOutput/addInput,
+    ``operator/Driver.java:388`` → OperatorStats)."""
+    if not ctx.collect_stats:
+        return _execute_node(plan, ctx)
+    import time as _time
+    import jax as _jax
+    t0 = _time.perf_counter()
+    out = _execute_node(plan, ctx)
+    _jax.block_until_ready(out.mask)
+    wall = (_time.perf_counter() - t0) * 1000
+    import jax.numpy as _jnp
+    rows = int(_jnp.sum(out.mask))
+    self_ms = wall - sum(ctx.node_stats.get(id(c), {}).get("tree_ms", 0)
+                         for c in plan.children())
+    ctx.node_stats[id(plan)] = {
+        "rows": rows, "wall_ms": max(self_ms, 0.0), "tree_ms": wall}
+    return out
+
+
+def _execute_node(plan: PhysOp, ctx: ExecContext) -> Chunk:
     if isinstance(plan, PhysScan):
         return ctx.datasource.scan(plan.table, plan.columns, plan.alias_prefix)
     if isinstance(plan, PhysFilter):

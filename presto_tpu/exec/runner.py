@@ -46,6 +46,10 @@ class LocalRunner:
         return prune(plan, None)
 
     def run_sql(self, sql: str, fused: Optional[bool] = None) -> Table:
+        import re as _re
+        m = _re.match(r"\s*explain(\s+analyze)?\s+", sql, _re.I)
+        if m:
+            return self._explain(sql[m.end():], analyze=bool(m.group(1)))
         plan = self.plan_sql(sql)
         if fused is not False:
             try:
@@ -54,6 +58,32 @@ class LocalRunner:
                 if fused:
                     raise
         return self.run_physical(plan)
+
+    def _explain(self, sql: str, analyze: bool) -> Table:
+        """EXPLAIN / EXPLAIN ANALYZE (reference: PlanPrinter +
+        ExplainAnalyzeOperator)."""
+        from ..data.column import Column, BYTES
+        from ..data import types as T
+        from ..utils.explain import explain as render
+        import numpy as np
+        plan = self.plan_sql(sql)
+        stats = None
+        if analyze:
+            from .physical import ExecContext
+            ctx = ExecContext(self.datasource, collect_stats=True)
+            execute(plan, ctx)
+            stats = ctx.node_stats
+        text = render(plan, stats)
+        lines = text.split("\n")
+        width = max(len(l) for l in lines)
+        vals = np.zeros((len(lines), width), np.uint8)
+        lens = np.zeros(len(lines), np.int32)
+        for i, l in enumerate(lines):
+            b = l.encode()
+            vals[i, :len(b)] = np.frombuffer(b, np.uint8)
+            lens[i] = len(b)
+        return Table({"Query Plan": Column(T.varchar(width), vals,
+                                           kind=BYTES, lengths=lens)})
 
     def run_physical_fused(self, plan: PhysOp) -> Table:
         """Compile the WHOLE query into one XLA program (the design point:
