@@ -126,6 +126,32 @@ class PhysLimit(PhysOp):
         return (self.child,)
 
 
+@dataclass(frozen=True)
+class WindowSpec:
+    name: str                        # output column
+    func: str                        # row_number|rank|dense_rank|lead|lag|
+    #                                  first_value|sum|count|min|max|avg
+    arg: Optional[ir.Expr] = None
+    offset: int = 1                  # lead/lag distance
+
+
+@dataclass
+class PhysWindow(PhysOp):
+    """Window functions over (PARTITION BY, ORDER BY) specs.
+
+    Replaces ``operator/WindowOperator.java`` + ``operator/window/``: one
+    global sort by (partition, order) keys, vectorized prefix computations,
+    scatter back to input order (no per-partition row loop)."""
+
+    child: PhysOp
+    partition: Tuple[ir.Expr, ...]
+    order: Tuple[Tuple[ir.Expr, bool], ...]
+    functions: Tuple[WindowSpec, ...]
+
+    def children(self):
+        return (self.child,)
+
+
 @dataclass
 class PhysScalarBind(PhysOp):
     """Bind single-row subplan results as broadcast columns of the child."""
@@ -248,6 +274,8 @@ def _execute_node(plan: PhysOp, ctx: ExecContext) -> Chunk:
         return _exec_limit(child, plan.n)
     if isinstance(plan, PhysScalarBind):
         return _exec_scalar_bind(plan, ctx)
+    if isinstance(plan, PhysWindow):
+        return _exec_window(plan, ctx)
     raise NotImplementedError(type(plan).__name__)
 
 
@@ -306,6 +334,128 @@ def _exec_sort(plan: PhysSort, ctx: ExecContext) -> Chunk:
     if plan.limit is not None:
         out = _exec_limit(out, plan.limit)
     return out
+
+
+def _window_norm_keys(chunk: Chunk, exprs, descs=None):
+    """Normalize window key exprs to int64 arrays (BYTES→packs, DICT→rank)."""
+    out = []
+    for i, e in enumerate(exprs):
+        desc = descs[i] if descs else False
+        c = eval_expr(e, chunk)
+        if c.kind == BYTES:
+            for p in SORT.bytes_sort_keys(c.values, c.lengths):
+                out.append((p, desc))
+        elif c.kind == DICT:
+            rank = np.argsort(np.argsort(
+                [str(s) for s in c.dictionary.strings]))
+            out.append((jnp.asarray(rank)[c.values].astype(jnp.int64), desc))
+        else:
+            out.append((c.values.astype(jnp.int64), desc))
+    return out
+
+
+def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
+    from ..ops import window as W
+    pk = _window_norm_keys(chunk, plan.partition)
+    ok = _window_norm_keys(chunk, tuple(e for e, _ in plan.order),
+                           [d for _, d in plan.order])
+    n_part_arrays = len(pk)
+    keys = pk + ok
+    perm = SORT.argsort_multi(keys, chunk.mask)
+    sorted_keys = [k[perm] for k, _ in keys]
+    smask = chunk.mask[perm]
+    part_start, peer_start = W.make_boundaries(sorted_keys, n_part_arrays,
+                                               smask)
+    has_order = len(plan.order) > 0
+    pe = W.peer_ends(peer_start) if has_order else None
+    n = chunk.n_rows
+    out_cols = dict(chunk.cols)
+    for spec in plan.functions:
+        if spec.func == "row_number":
+            res, valid = W.row_number(part_start), None
+            ot = T.BIGINT
+        elif spec.func == "rank":
+            res, valid = W.rank(part_start, peer_start), None
+            ot = T.BIGINT
+        elif spec.func == "dense_rank":
+            res, valid = W.dense_rank(part_start, peer_start), None
+            ot = T.BIGINT
+        elif spec.func in ("lead", "lag"):
+            c = eval_expr(spec.arg, chunk)
+            off = spec.offset if spec.func == "lead" else -spec.offset
+            res, valid = W.shift_in_partition(c.values[perm], part_start, off)
+            v = c.valid_or_true()[perm]
+            valid = valid & v[jnp.clip(jnp.arange(n) + off, 0, n - 1)]
+            ot = c.dtype
+        elif spec.func == "first_value":
+            c = eval_expr(spec.arg, chunk)
+            sv = c.values[perm]
+            res = sv[jnp.maximum(part_start, 0)]
+            valid = c.valid_or_true()[perm][jnp.maximum(part_start, 0)]
+            ot = c.dtype
+        elif spec.func in ("sum", "count", "min", "max", "avg", "count_star"):
+            if spec.func == "count_star":
+                vals = jnp.ones((n,), jnp.int64)
+                vmask = smask
+                adt = T.BIGINT
+            else:
+                c = eval_expr(spec.arg, chunk)
+                vals = c.values[perm].astype(jnp.int64)
+                vmask = smask & c.valid_or_true()[perm]
+                adt = c.dtype
+            if has_order:
+                # default frame: RANGE UNBOUNDED PRECEDING → CURRENT ROW,
+                # peers included → running value gathered at peer-run end
+                rsum = W.running_sum(vals, part_start, vmask)[pe]
+                rcnt = W.running_sum(vmask.astype(jnp.int64),
+                                     part_start, smask)[pe]
+            else:
+                rsum = W.partition_total(vals, part_start, vmask, "sum")
+                rcnt = W.partition_total(vals, part_start, vmask, "count")
+            if spec.func in ("count", "count_star"):
+                res, valid, ot = rcnt, None, T.BIGINT
+            elif spec.func == "sum":
+                res, valid = rsum, rcnt > 0
+                ot = (T.decimal(38, _scale_of(adt)) if T.is_decimal(adt)
+                      else T.BIGINT)
+            elif spec.func == "avg":
+                res = DEC.div_round_half_up(rsum, jnp.maximum(rcnt, 1))
+                valid, ot = rcnt > 0, adt
+            else:
+                res = W.partition_total(vals, part_start, vmask, spec.func) \
+                    if not has_order else None
+                if res is None:
+                    raise NotImplementedError(
+                        "running min/max window frame")
+                valid, ot = None, adt
+        else:
+            raise NotImplementedError(f"window function {spec.func}")
+        # scatter back to input row order
+        out_v = jnp.zeros((n,), res.dtype).at[perm].set(res)
+        out_valid = None
+        if valid is not None:
+            out_valid = jnp.zeros((n,), jnp.bool_).at[perm].set(valid)
+        out_cols[spec.name] = DCol(ot, PLAIN, out_v, validity=out_valid)
+    return Chunk(out_cols, chunk.mask)
+
+
+def _exec_window(plan: PhysWindow, ctx: ExecContext) -> Chunk:
+    child = execute(plan.child, ctx)
+    kernel = partial(jax.jit, static_argnames=("plan",))(
+        lambda chunk, plan: _window_traced(chunk, plan))
+    return kernel(child, _freeze_window(plan))
+
+
+def _freeze_window(plan: PhysWindow):
+    """Hashable copy for jit static arg."""
+    return _FrozenWindow(plan.partition, plan.order, plan.functions)
+
+
+@dataclass(frozen=True)
+class _FrozenWindow:
+    partition: Tuple[ir.Expr, ...]
+    order: Tuple[Tuple[ir.Expr, bool], ...]
+    functions: Tuple[WindowSpec, ...]
 
 
 def _exec_scalar_bind(plan: PhysScalarBind, ctx: ExecContext) -> Chunk:

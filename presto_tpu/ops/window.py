@@ -1,0 +1,127 @@
+"""Window-function kernels: rank family, offsets, framed aggregates.
+
+The reference's ``operator/WindowOperator.java`` accumulates rows into a
+PagesIndex, sorts per partition, then runs per-partition framing row by row
+(``operator/window/``).  On TPU the whole table is ONE sort by
+(partition, order) keys and every window function becomes a vectorized
+prefix computation over the sorted order, scattered back to input order:
+
+- partition boundaries  → flag vector + running "segment start" index
+- row_number            → position − partition start + 1
+- rank                  → peer-run start − partition start + 1
+- dense_rank            → prefix count of peer-run boundaries
+- lead/lag              → shifted gather with boundary nulls
+- running/total sum,cnt → prefix sums minus partition-start prefix
+(min/max full-partition via segment reduce + gather)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+import jax
+
+from . import agg as A
+
+
+def _cummax(x):
+    return jax.lax.cummax(x)
+
+
+def make_boundaries(sorted_keys: List[jnp.ndarray],
+                    n_partition_keys: int, mask: jnp.ndarray):
+    """(part_start[i], peer_start[i]) indices for each sorted position.
+
+    A row starts a new partition when any partition key differs from the
+    previous row; it starts a new peer run when any (partition or order)
+    key differs."""
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    part_change = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    peer_change = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    for j, k in enumerate(sorted_keys):
+        diff = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                k[1:] != k[:-1]])
+        if j < n_partition_keys:
+            part_change = part_change | diff
+        peer_change = peer_change | diff
+    part_start = _cummax(jnp.where(part_change, idx, jnp.int64(-1)))
+    peer_start = _cummax(jnp.where(peer_change, idx, jnp.int64(-1)))
+    return part_start, peer_start
+
+
+def row_number(part_start: jnp.ndarray) -> jnp.ndarray:
+    n = part_start.shape[0]
+    return jnp.arange(n, dtype=jnp.int64) - part_start + 1
+
+
+def rank(part_start: jnp.ndarray, peer_start: jnp.ndarray) -> jnp.ndarray:
+    return peer_start - part_start + 1
+
+
+def dense_rank(part_start: jnp.ndarray, peer_start: jnp.ndarray) -> jnp.ndarray:
+    n = part_start.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    new_peer = (peer_start == idx).astype(jnp.int64)
+    cs = jnp.cumsum(new_peer)
+    # dense rank = peers seen in this partition up to here
+    start_cs = cs[jnp.maximum(part_start, 0)] - new_peer[jnp.maximum(part_start, 0)]
+    return cs - start_cs
+
+
+def peer_ends(peer_start: jnp.ndarray) -> jnp.ndarray:
+    """For each sorted position, the last index of its peer run."""
+    n = peer_start.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    is_last = jnp.concatenate([peer_start[1:] != peer_start[:-1],
+                               jnp.ones((1,), jnp.bool_)])
+    marker = jnp.where(is_last, idx, n - 1)
+    return jnp.flip(jax.lax.cummin(jnp.flip(marker)))
+
+
+def shift_in_partition(values: jnp.ndarray, part_start: jnp.ndarray,
+                       offset: int):
+    """lead(+k)/lag(-k): value at position i+offset if same partition,
+    else invalid.  Returns (values, valid)."""
+    n = values.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    src = idx + offset
+    inb = (src >= 0) & (src < n)
+    src_c = jnp.clip(src, 0, n - 1)
+    same = part_start[src_c] == part_start
+    return values[src_c], inb & same
+
+
+def running_sum(values: jnp.ndarray, part_start: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
+    """sum over rows from partition start to current row (RANGE/ROWS
+    UNBOUNDED PRECEDING → CURRENT ROW with default peers handling done by
+    caller via peer_start gather)."""
+    v = jnp.where(mask, values, 0).astype(jnp.int64)
+    cs = jnp.cumsum(v)
+    before = jnp.where(part_start > 0, cs[jnp.maximum(part_start - 1, 0)], 0)
+    return cs - before
+
+
+def partition_total(values: jnp.ndarray, part_start: jnp.ndarray,
+                    mask: jnp.ndarray, func: str = "sum"):
+    """Full-partition aggregate broadcast to each row (via segment reduce
+    keyed on part_start, which is unique per partition)."""
+    n = values.shape[0]
+    # part ids: compact via part_start (same value for whole partition)
+    seg = part_start.astype(jnp.int32)
+    cap = n  # part_start < n
+    if func == "sum":
+        tot = A.seg_sum(values, seg, mask, cap, jnp.int64)
+    elif func == "min":
+        tot = A.seg_min(values, seg, mask, cap)
+    elif func == "max":
+        tot = A.seg_max(values, seg, mask, cap)
+    elif func == "count":
+        tot = A.seg_count(seg, mask, cap)
+    else:
+        raise NotImplementedError(func)
+    return tot[seg]

@@ -174,6 +174,11 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
         child, rep = execute_traced(plan.child, ctx)
         gathered = child if rep else ctx.gather(child)
         return PH._exec_limit(gathered, plan.n), True
+    if isinstance(plan, PH.PhysWindow):
+        # windows need a global sort: gather, then the same traced kernel
+        child, rep = execute_traced(plan.child, ctx)
+        gathered = child if rep else ctx.gather(child)
+        return PH._window_traced(gathered, plan), True
     if isinstance(plan, PH.PhysScalarBind):
         child, rep = execute_traced(plan.child, ctx)
         cols = dict(child.cols)

@@ -58,6 +58,13 @@ class FuncCall(Node):
 
 
 @dataclass
+class WindowExpr(Node):
+    func: "FuncCall"
+    partition_by: List[Node]
+    order_by: List["OrderItem"]
+
+
+@dataclass
 class BinaryOp(Node):
     op: str                          # + - * / and or = <> < <= > >= ||
     left: Node

@@ -28,7 +28,9 @@ KEYWORDS = {
     "null", "case", "when", "then", "else", "end", "cast", "date",
     "interval", "extract", "substring", "distinct", "asc", "desc", "join",
     "inner", "left", "right", "outer", "cross", "on", "with", "for", "union",
-    "all", "year", "month", "day", "true", "false",
+    "all", "year", "month", "day", "true", "false", "over", "partition",
+    "rows", "range", "unbounded", "preceding", "following", "current", "row",
+    "except", "intersect",
 }
 
 
@@ -427,7 +429,7 @@ class Parser:
                 # function call
                 if self.accept("op", "*"):
                     self.expect("op", ")")
-                    return ast.FuncCall(t.value, [ast.Star()])
+                    return self._maybe_window(ast.FuncCall(t.value, [ast.Star()]))
                 distinct = bool(self.accept("kw", "distinct"))
                 args = []
                 if not self.accept("op", ")"):
@@ -435,7 +437,8 @@ class Parser:
                     while self.accept("op", ","):
                         args.append(self.parse_expr())
                     self.expect("op", ")")
-                return ast.FuncCall(t.value, args, distinct)
+                call = ast.FuncCall(t.value, args, distinct)
+                return self._maybe_window(call)
             parts = [t.value]
             while self.accept("op", "."):
                 parts.append(self.expect("name").value)
@@ -445,3 +448,38 @@ class Parser:
 
 def parse(sql: str) -> ast.Select:
     return Parser(sql).parse()
+
+
+def _install_window_parsing():
+    def _maybe_window(self, call):
+        if not self.accept("kw", "over"):
+            return call
+        self.expect("op", "(")
+        partition = []
+        order = []
+        if self.accept("kw", "partition"):
+            self.expect("kw", "by")
+            partition.append(self.parse_expr())
+            while self.accept("op", ","):
+                partition.append(self.parse_expr())
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self.parse_expr()
+                desc = False
+                if self.accept("kw", "desc"):
+                    desc = True
+                elif self.accept("kw", "asc"):
+                    pass
+                order.append(ast.OrderItem(e, desc))
+                if not self.accept("op", ","):
+                    break
+        if self.at_kw("rows", "range"):
+            raise NotImplementedError("explicit window frames")
+        self.expect("op", ")")
+        return ast.WindowExpr(call, partition, order)
+
+    Parser._maybe_window = _maybe_window
+
+
+_install_window_parsing()

@@ -302,11 +302,19 @@ class Planner:
         if isinstance(node, ast.IsNullExpr):
             return ir.IsNull(self._resolve(node.arg, scope, outer),
                              node.negated)
+        if isinstance(node, ast.WindowExpr):
+            wm = getattr(self, "_window_map", None)
+            if wm is not None and id(node) in wm:
+                return wm[id(node)]
+            raise ValueError("window expression outside planned scope")
         if isinstance(node, ast.FuncCall):
-            raise ValueError(
-                f"function {node.name} in scalar context (aggregates are "
-                f"extracted separately)")
+            return self._resolve_scalar_func(node, scope, outer)
         raise NotImplementedError(type(node).__name__)
+
+    def _resolve_scalar_func(self, node: ast.FuncCall, scope, outer) -> ir.Expr:
+        raise ValueError(
+            f"function {node.name} in scalar context (aggregates are "
+            f"extracted separately)")
 
     # ---- conjunct utilities ----
 
@@ -411,6 +419,10 @@ class Planner:
         for c in subq_ast:
             cur = self.apply_subquery_conjunct(cur, c, outer)
 
+        # 4b. window functions (after joins/filters, before aggregation;
+        # reference: WindowOperator planning in LocalExecutionPlanner)
+        cur = self.apply_windows(cur, q, outer)
+
         # 5. aggregation
         has_aggs = any(self._ast_has_agg(it.expr) for it in q.items) \
             or (q.having is not None) or bool(q.group_by)
@@ -486,9 +498,87 @@ class Planner:
             return node.parts[-1]
         return f"_col{i}"
 
+    # ---- window functions ----
+
+    @staticmethod
+    def _collect_windows(node, out):
+        if isinstance(node, ast.WindowExpr):
+            out.append(node)
+            return
+        for attr in ("left", "right", "arg", "lo", "hi", "default"):
+            c = getattr(node, attr, None)
+            if isinstance(c, ast.Node):
+                Planner._collect_windows(c, out)
+        if isinstance(node, ast.CaseExpr):
+            for c, v in node.whens:
+                Planner._collect_windows(c, out)
+                Planner._collect_windows(v, out)
+        if isinstance(node, ast.FuncCall):
+            for a in node.args:
+                if isinstance(a, ast.Node):
+                    Planner._collect_windows(a, out)
+
+    def apply_windows(self, cur: Rel, q: ast.Select, outer) -> Rel:
+        wins: List[ast.WindowExpr] = []
+        for it in q.items:
+            if not isinstance(it.expr, ast.Star):
+                self._collect_windows(it.expr, wins)
+        for oi in q.order_by:
+            self._collect_windows(oi.expr, wins)
+        if not wins:
+            return cur
+        self._window_map = {}
+        by_spec: Dict[tuple, List[ast.WindowExpr]] = {}
+        for w in wins:
+            pkey = tuple(self.resolve(p, cur.scope, outer)
+                         for p in w.partition_by)
+            okey = tuple((self.resolve(o.expr, cur.scope, outer),
+                          o.descending) for o in w.order_by)
+            by_spec.setdefault((pkey, okey), []).append(w)
+        for (pkey, okey), ws in by_spec.items():
+            specs = []
+            for w in ws:
+                fname = w.func.name
+                arg = None
+                offset = 1
+                if fname in ("lead", "lag"):
+                    arg = self.resolve(w.func.args[0], cur.scope, outer)
+                    if len(w.func.args) > 1:
+                        off = self.resolve(w.func.args[1], cur.scope, outer)
+                        assert isinstance(off, ir.Literal)
+                        offset = int(off.value)
+                    dtype = arg.dtype
+                elif fname == "count" and (not w.func.args or isinstance(
+                        w.func.args[0], ast.Star)):
+                    fname = "count_star"
+                    dtype = T.BIGINT
+                elif fname in ("sum", "count", "min", "max", "avg",
+                               "first_value"):
+                    arg = self.resolve(w.func.args[0], cur.scope, outer)
+                    if fname == "count":
+                        dtype = T.BIGINT
+                    elif fname == "sum":
+                        dtype = (T.decimal(38, arg.dtype.scale)
+                                 if T.is_decimal(arg.dtype) else T.BIGINT)
+                    else:
+                        dtype = arg.dtype
+                elif fname in ("row_number", "rank", "dense_rank"):
+                    dtype = T.BIGINT
+                else:
+                    raise NotImplementedError(f"window function {fname}")
+                name = self.fresh("win")
+                specs.append(P.WindowSpec(name, fname, arg, offset))
+                self._window_map[id(w)] = ir.ColumnRef(name, dtype)
+                cur.scope.add(None, name, name, dtype)
+                cur.columns.add(name)
+            cur.plan = P.PhysWindow(cur.plan, pkey, okey, tuple(specs))
+        return cur
+
     # ---- aggregation ----
 
     def _ast_has_agg(self, node) -> bool:
+        if isinstance(node, ast.WindowExpr):
+            return False  # window functions are not aggregates
         if isinstance(node, ast.FuncCall) and node.name in AGG_FUNCS:
             return True
         for attr in ("left", "right", "arg", "lo", "hi", "start", "length",

@@ -76,6 +76,14 @@ def prune(plan: P.PhysOp, required: Optional[Set[str]] = None) -> P.PhysOp:
     if isinstance(plan, P.PhysLimit):
         prune(plan.child, required)
         return plan
+    if isinstance(plan, P.PhysWindow):
+        produced = {s.name for s in plan.functions}
+        child_req = None if required is None else (
+            (set(required) - produced)
+            | _refs(*plan.partition, *(e for e, _ in plan.order),
+                    *(s.arg for s in plan.functions)))
+        prune(plan.child, child_req)
+        return plan
     if isinstance(plan, P.PhysScalarBind):
         bound = {n for n, _ in plan.bindings}
         child_req = None if required is None else set(required) - bound
