@@ -204,7 +204,126 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
                   else ~col.validity)
         return DCol(T.BOOLEAN, PLAIN, ~isnull if expr.negated else isnull)
 
+    if isinstance(expr, ir.Func):
+        return _eval_func(expr, chunk)
+
     raise NotImplementedError(type(expr).__name__)
+
+
+def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
+    """Scalar function dispatch (reference: ``operator/scalar/``)."""
+    name = expr.name
+    args = [eval_expr(a, chunk) for a in expr.args]
+    n = chunk.n_rows
+
+    if name == "abs":
+        a = args[0]
+        return DCol(a.dtype, PLAIN, jnp.abs(a.values), validity=a.validity)
+    if name == "mod":
+        a, b = args
+        valid = _and_validity(a.validity, b.validity, b.values != 0)
+        num = a.values.astype(jnp.int64)
+        den = jnp.where(b.values == 0, 1, b.values.astype(jnp.int64))
+        # SQL mod truncates toward zero (Java % semantics)
+        q = jnp.sign(num) * (jnp.abs(num) // jnp.abs(den))
+        return DCol(expr.dtype, PLAIN, num - q * den, validity=valid)
+    if name == "round":
+        a = args[0]
+        fs = _scale_of(a.dtype)
+        ts = _scale_of(expr.dtype)
+        return DCol(expr.dtype, PLAIN,
+                    D.rescale(a.values.astype(jnp.int64), fs, ts),
+                    validity=a.validity)
+    if name == "coalesce":
+        rs = _scale_of(expr.dtype)
+        out = None
+        valid = None
+        for a in args:
+            a = _rescale_col(a, rs) if T.is_decimal(expr.dtype) else a
+            av = a.valid_or_true()
+            if out is None:
+                out, valid = a.values, av
+            else:
+                out = jnp.where(valid, out, a.values)
+                valid = valid | av
+        return DCol(expr.dtype, PLAIN, out, validity=valid)
+    if name == "nullif":
+        a, b = args
+        eq = a.values == D.rescale(b.values.astype(jnp.int64),
+                                   _scale_of(b.dtype), _scale_of(a.dtype))
+        valid = _and_validity(a.validity, ~eq)
+        return DCol(a.dtype, PLAIN, a.values, validity=valid)
+    if name in ("upper", "lower"):
+        a = args[0]
+        if a.kind == DICT:
+            import numpy as _np
+            from .columns import Dictionary
+            f = str.upper if name == "upper" else str.lower
+            return DCol(a.dtype, DICT, a.values, validity=a.validity,
+                        dictionary=Dictionary(_np.array(
+                            [f(str(s)) for s in a.dictionary.strings],
+                            dtype=object)))
+        assert a.kind == BYTES
+        v = a.values
+        if name == "upper":
+            shift = ((v >= ord("a")) & (v <= ord("z")))
+            v = jnp.where(shift, v - 32, v)
+        else:
+            shift = ((v >= ord("A")) & (v <= ord("Z")))
+            v = jnp.where(shift, v + 32, v)
+        return DCol(a.dtype, BYTES, v, a.lengths, a.validity)
+    if name == "length":
+        a = args[0]
+        if a.kind == DICT:
+            import numpy as _np
+            lens = _np.array([len(str(s)) for s in a.dictionary.strings])
+            return DCol(T.BIGINT, PLAIN,
+                        jnp.asarray(lens)[a.values].astype(jnp.int64),
+                        validity=a.validity)
+        assert a.kind == BYTES
+        return DCol(T.BIGINT, PLAIN, a.lengths.astype(jnp.int64),
+                    validity=a.validity)
+    if name == "concat":
+        a, b = args
+        assert a.kind == BYTES and b.kind == BYTES, "concat on byte strings"
+        wa, wb = a.values.shape[1], b.values.shape[1]
+        out = jnp.zeros((n, wa + wb), jnp.uint8)
+        out = out.at[:, :wa].set(a.values)
+        rows = jnp.arange(n)[:, None]
+        cols = a.lengths[:, None] + jnp.arange(wb)[None, :]
+        out = out.at[rows, jnp.minimum(cols, wa + wb - 1)].set(
+            jnp.where(jnp.arange(wb)[None, :] < b.lengths[:, None],
+                      b.values, out[rows, jnp.minimum(cols, wa + wb - 1)]))
+        return DCol(expr.dtype, BYTES, out, a.lengths + b.lengths,
+                    _and_validity(a.validity, b.validity))
+    if name in ("month", "day"):
+        a = args[0]
+        z = a.values.astype(jnp.int64) + 719468
+        era = jnp.floor_divide(z, 146097)
+        doe = z - era * 146097
+        yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        dayv = doy - (153 * mp + 2) // 5 + 1
+        m = jnp.where(mp < 10, mp + 3, mp - 9)
+        return DCol(T.BIGINT, PLAIN, m if name == "month" else dayv,
+                    validity=a.validity)
+    if name in ("greatest", "least"):
+        rs = _scale_of(expr.dtype)
+        vals = [D.rescale(a.values.astype(jnp.int64), _scale_of(a.dtype), rs)
+                for a in args]
+        out = vals[0]
+        for v in vals[1:]:
+            out = jnp.maximum(out, v) if name == "greatest" else \
+                jnp.minimum(out, v)
+        return DCol(expr.dtype, PLAIN, out,
+                    validity=_and_validity(*(a.validity for a in args)))
+    if name == "sqrt":
+        a = args[0]
+        v = a.values.astype(jnp.float64) / (10 ** _scale_of(a.dtype))
+        return DCol(T.DOUBLE, PLAIN, jnp.sqrt(v),
+                    validity=_and_validity(a.validity, a.values >= 0))
+    raise NotImplementedError(f"scalar function {name}")
 
 
 def _host_like(s: str, pattern: str) -> bool:

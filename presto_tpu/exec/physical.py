@@ -483,15 +483,23 @@ def _exec_scalar_bind(plan: PhysScalarBind, ctx: ExecContext) -> Chunk:
 _SUM_LIKE = {"sum", "avg"}
 
 
+VARIANCE_FUNCS = {"stddev", "stddev_samp", "stddev_pop", "variance",
+                  "var_samp", "var_pop"}
+
+
 def _agg_output_type(spec: AggSpec) -> T.DataType:
     if spec.func in ("count", "count_star"):
         return T.BIGINT
+    if spec.func in VARIANCE_FUNCS:
+        return T.DOUBLE
+    if spec.func in ("bool_and", "bool_or"):
+        return T.BOOLEAN
     at = spec.arg.dtype
     if spec.func == "sum":
         return T.decimal(38, _scale_of(at)) if T.is_decimal(at) else T.BIGINT
     if spec.func == "avg":
         return at if T.is_decimal(at) else T.DOUBLE
-    return at  # min/max
+    return at  # min/max/arbitrary
 
 
 def _exec_agg(plan: PhysHashAggregate, ctx: ExecContext) -> Chunk:
@@ -557,7 +565,28 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
         else:
             v = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
         return DCol(ot, PLAIN, v, validity=gvalid & (cnt > 0))
-    if spec.func == "min":
+    if spec.func in VARIANCE_FUNCS:
+        fv = vals.astype(jnp.float64) / (10 ** _scale_of(c.dtype))
+        s1 = A.seg_sum(fv, slot, vmask, capacity, jnp.float64)
+        s2 = A.seg_sum(fv * fv, slot, vmask, capacity, jnp.float64)
+        cnt = A.seg_count(slot, vmask, capacity).astype(jnp.float64)
+        pop = spec.func.endswith("_pop")
+        den = jnp.maximum(cnt if pop else cnt - 1, 1.0)
+        var = jnp.maximum((s2 - s1 * s1 / jnp.maximum(cnt, 1.0)) / den, 0.0)
+        v = var if "var" in spec.func else jnp.sqrt(var)
+        minc = 1 if pop else 2
+        return DCol(T.DOUBLE, PLAIN, v,
+                    validity=gvalid & (A.seg_count(slot, vmask, capacity)
+                                       >= minc))
+    if spec.func in ("bool_and", "bool_or"):
+        b = vals.astype(jnp.bool_)
+        if spec.func == "bool_and":
+            v = ~A.seg_any(~b, slot, vmask, capacity)
+        else:
+            v = A.seg_any(b, slot, vmask, capacity)
+        nonempty = A.seg_count(slot, vmask, capacity) > 0
+        return DCol(T.BOOLEAN, PLAIN, v, validity=gvalid & nonempty)
+    if spec.func in ("min", "arbitrary", "any_value"):
         v = A.seg_min(vals, slot, vmask, capacity)
     elif spec.func == "max":
         v = A.seg_max(vals, slot, vmask, capacity)

@@ -224,6 +224,23 @@ class Substring(Expr):
 
 
 @dataclass(frozen=True)
+class Func(Expr):
+    """Generic scalar function call (reference: resolved CallExpression
+    against the function registry, ``metadata/FunctionRegistry.java``)."""
+
+    name: str
+    args: Tuple[Expr, ...]
+    _dtype: T.DataType
+
+    def children(self):
+        return self.args
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+
+@dataclass(frozen=True)
 class IsNull(Expr):
     arg: Expr
     negated: bool = False

@@ -32,7 +32,9 @@ from ...tpch import schema as SCH
 from .. import ast
 from .. import ir
 
-AGG_FUNCS = {"sum", "avg", "count", "min", "max"}
+AGG_FUNCS = {"sum", "avg", "count", "min", "max", "stddev", "stddev_samp",
+             "stddev_pop", "variance", "var_samp", "var_pop", "bool_and",
+             "bool_or", "approx_distinct", "arbitrary", "any_value"}
 EPOCH = dt.date(1970, 1, 1)
 
 
@@ -312,9 +314,47 @@ class Planner:
         raise NotImplementedError(type(node).__name__)
 
     def _resolve_scalar_func(self, node: ast.FuncCall, scope, outer) -> ir.Expr:
-        raise ValueError(
-            f"function {node.name} in scalar context (aggregates are "
-            f"extracted separately)")
+        """Scalar function resolution + result typing (the role of
+        ``metadata/FunctionRegistry.java`` resolution)."""
+        name = node.name
+        args = tuple(self._resolve(a, scope, outer) for a in node.args)
+        if name in ("abs", "upper", "lower", "nullif"):
+            return ir.Func(name, args, args[0].dtype)
+        if name == "mod":
+            return ir.Func(name, args, T.BIGINT)
+        if name == "length":
+            return ir.Func(name, args, T.BIGINT)
+        if name in ("month", "day"):
+            return ir.Func(name, args, T.BIGINT)
+        if name == "year":
+            return ir.ExtractYear(args[0])
+        if name == "sqrt":
+            return ir.Func(name, args, T.DOUBLE)
+        if name == "round":
+            d = 0
+            if len(args) > 1:
+                assert isinstance(args[1], ir.Literal)
+                d = int(args[1].value)
+            return ir.Func("round", args[:1], T.decimal(38, d))
+        if name in ("coalesce", "greatest", "least"):
+            rt = args[0].dtype
+            for a in args[1:]:
+                rt = T.common_super_type(rt, a.dtype)
+            return ir.Func(name, args, rt)
+        if name == "concat":
+            la = sum((a.dtype.length or 64) for a in args
+                     if T.is_string(a.dtype))
+            return ir.Func(name, args, T.varchar(la))
+        if name in ("substr", "substring"):
+            start = args[1]
+            assert isinstance(start, ir.Literal)
+            if len(args) > 2:
+                assert isinstance(args[2], ir.Literal)
+                size = int(args[2].value)
+            else:
+                size = (args[0].dtype.length or 64) - int(start.value) + 1
+            return ir.Substring(args[0], int(start.value), size)
+        raise NotImplementedError(f"function {name}")
 
     # ---- conjunct utilities ----
 
@@ -683,6 +723,12 @@ class Planner:
                                      isinstance(node.args[0], ast.Star)):
             key = ("count_star", None, False)
             arg = None
+        elif node.name == "approx_distinct":
+            # exact implementation this round (HLL sketch: roadmap); the
+            # reference allows exactness as a legal approximation
+            arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
+            key = ("count", arg, True)
+            node = ast.FuncCall("count", node.args, True)
         else:
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
             key = (node.name, arg, node.distinct)

@@ -1,0 +1,65 @@
+"""Scalar-function + extended-aggregate tests (reference: per-function
+assertions via ``FunctionAssertions`` and the aggregation test suites)."""
+
+import numpy as np
+import pytest
+
+from presto_tpu.exec.runner import LocalRunner
+
+import tpch_oracle as O
+
+SF = 0.01
+
+
+@pytest.fixture(scope="module")
+def runner():
+    return LocalRunner(scale_factor=SF)
+
+
+def test_extended_aggregates(runner):
+    got = runner.run_sql("""
+     select o_orderpriority, stddev(o_totalprice) sd, var_pop(o_totalprice) vp,
+            variance(o_totalprice) vs, stddev_pop(o_totalprice) sp,
+            bool_and(o_totalprice > 0) ba, bool_or(o_shippriority = 1) bo,
+            approx_distinct(o_custkey) ad, count(distinct o_custkey) cd
+     from orders group by o_orderpriority order by o_orderpriority
+    """).to_pandas()
+    o = O.load("orders", SF)
+    g = o.groupby("o_orderpriority")
+    # engine reports decimal units (dollars); oracle holds unscaled cents
+    assert np.allclose(got.sd.values * 100, g.o_totalprice.std(ddof=1).values)
+    assert np.allclose(got.vp.values * 1e4, g.o_totalprice.var(ddof=0).values)
+    assert np.allclose(got.vs.values * 1e4, g.o_totalprice.var(ddof=1).values)
+    assert np.allclose(got.sp.values * 100, g.o_totalprice.std(ddof=0).values)
+    assert got.ad.tolist() == g.o_custkey.nunique().tolist()
+    assert got.cd.tolist() == g.o_custkey.nunique().tolist()
+    assert got.ba.all() and not got.bo.any()
+
+
+def test_scalar_functions(runner):
+    got = runner.run_sql(
+        "select abs(-5) a, mod(7, 3) m, mod(-7, 3) mn, round(2.345, 2) r2, "
+        "round(2.5) r0, coalesce(null, 4) c, length('hello') l, "
+        "upper('abC') u, lower('AbC') lo, nullif(3, 3) nn, nullif(3, 4) nv, "
+        "greatest(1, 5, 3) g, least(2.5, 1.75) ls, "
+        "concat('foo', 'bar') cc, substr('hello', 2, 3) ss "
+        "from region limit 1").to_pandas()
+    r = got.iloc[0]
+    assert r.a == 5 and r.m == 1 and r.mn == -1
+    assert r.r2 == 235          # 2.35 unscaled at scale 2 (HALF_UP)
+    assert r.r0 == 3            # 2.5 → 3 (HALF_UP)
+    assert r.c == 4
+    assert r.l == 5 and r.u == "ABC" and r.lo == "abc"
+    assert r.nn is None and r.nv == 3
+    assert r.g == 5 and r.ls == 175   # 1.75 at scale 2
+    assert r.cc == "foobar" and r.ss == "ell"
+
+
+def test_date_parts(runner):
+    got = runner.run_sql(
+        "select extract(year from o_orderdate) y, month(o_orderdate) m, "
+        "day(o_orderdate) d, o_orderdate from orders limit 5").to_pandas()
+    import datetime as dt
+    for _, r in got.iterrows():
+        d = dt.date(1970, 1, 1) + dt.timedelta(days=int(r.o_orderdate))
+        assert (r.y, r.m, r.d) == (d.year, d.month, d.day)
