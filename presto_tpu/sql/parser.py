@@ -415,6 +415,13 @@ class Parser:
                 q = self.parse_select()
                 self.expect("op", ")")
                 return ast.ExistsExpr(q)
+            if t.value in ("year", "month", "day") and \
+                    self.peek(1).kind == "op" and self.peek(1).value == "(":
+                self.next()
+                self.expect("op", "(")
+                arg = self.parse_expr()
+                self.expect("op", ")")
+                return ast.FuncCall(t.value, [arg])
             if self.accept("kw", "not"):
                 return ast.UnaryOp("not", self.parse_not())
             if self.accept("kw", "true"):
