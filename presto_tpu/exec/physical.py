@@ -153,6 +153,17 @@ class PhysWindow(PhysOp):
 
 
 @dataclass
+class PhysConcat(PhysOp):
+    """Vertical concatenation (UNION ALL).  Reference: UnionNode →
+    LocalExchange merging of sources."""
+
+    inputs: Tuple[PhysOp, ...]
+
+    def children(self):
+        return self.inputs
+
+
+@dataclass
 class PhysScalarBind(PhysOp):
     """Bind single-row subplan results as broadcast columns of the child."""
 
@@ -276,6 +287,8 @@ def _execute_node(plan: PhysOp, ctx: ExecContext) -> Chunk:
         return _exec_scalar_bind(plan, ctx)
     if isinstance(plan, PhysWindow):
         return _exec_window(plan, ctx)
+    if isinstance(plan, PhysConcat):
+        return concat_chunks([execute(c, ctx) for c in plan.inputs])
     raise NotImplementedError(type(plan).__name__)
 
 
@@ -334,6 +347,60 @@ def _exec_sort(plan: PhysSort, ctx: ExecContext) -> Chunk:
     if plan.limit is not None:
         out = _exec_limit(out, plan.limit)
     return out
+
+
+def dcol_to_bytes(c: DCol) -> DCol:
+    """Decode a DICT column into fixed-width bytes (for concat/compare
+    across unrelated dictionaries)."""
+    if c.kind == BYTES:
+        return c
+    assert c.kind == DICT
+    strs = [str(s).encode("ascii") for s in c.dictionary.strings]
+    w = max((len(b) for b in strs), default=1)
+    mat = np.zeros((len(strs), w), np.uint8)
+    lens = np.zeros(len(strs), np.int32)
+    for i, b in enumerate(strs):
+        mat[i, :len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    codes = c.values
+    return DCol(c.dtype, BYTES, jnp.asarray(mat)[codes],
+                jnp.asarray(lens)[codes], c.validity)
+
+
+def concat_chunks(chunks: List[Chunk]) -> Chunk:
+    """Static-shape vertical concat; harmonizes layouts per column."""
+    names = list(chunks[0].cols.keys())
+    total_cols: Dict[str, DCol] = {}
+    for name in names:
+        cols = [ch.cols[name] for ch in chunks]
+        kinds = {c.kind for c in cols}
+        if kinds == {DICT} and all(c.dictionary is cols[0].dictionary
+                                   for c in cols):
+            pass  # same dictionary: concat codes directly
+        elif DICT in kinds or kinds == {BYTES}:
+            cols = [dcol_to_bytes(c) if c.kind != PLAIN else c for c in cols]
+        n_total = sum(c.values.shape[0] for c in cols)
+        if cols[0].kind == BYTES or (cols[0].kind == DICT and False):
+            w = max(c.values.shape[1] for c in cols)
+            vals = jnp.concatenate(
+                [jnp.pad(c.values, ((0, 0), (0, w - c.values.shape[1])))
+                 for c in cols])
+            lens = jnp.concatenate([c.lengths for c in cols])
+            validity = _concat_validity(cols)
+            total_cols[name] = DCol(cols[0].dtype, BYTES, vals, lens, validity)
+        else:
+            vals = jnp.concatenate([c.values for c in cols])
+            validity = _concat_validity(cols)
+            total_cols[name] = DCol(cols[0].dtype, cols[0].kind, vals,
+                                    None, validity, cols[0].dictionary)
+    mask = jnp.concatenate([ch.mask for ch in chunks])
+    return Chunk(total_cols, mask)
+
+
+def _concat_validity(cols):
+    if all(c.validity is None for c in cols):
+        return None
+    return jnp.concatenate([c.valid_or_true() for c in cols])
 
 
 def _window_norm_keys(chunk: Chunk, exprs, descs=None):

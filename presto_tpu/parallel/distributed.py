@@ -174,6 +174,13 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
         child, rep = execute_traced(plan.child, ctx)
         gathered = child if rep else ctx.gather(child)
         return PH._exec_limit(gathered, plan.n), True
+    if isinstance(plan, PH.PhysConcat):
+        parts = [execute_traced(c, ctx) for c in plan.inputs]
+        reps = {r for _, r in parts}
+        if len(reps) > 1:
+            raise NotImplementedError(
+                "UNION of replicated and sharded inputs")
+        return PH.concat_chunks([c for c, _ in parts]), reps.pop()
     if isinstance(plan, PH.PhysWindow):
         # windows need a global sort: gather, then the same traced kernel
         child, rep = execute_traced(plan.child, ctx)

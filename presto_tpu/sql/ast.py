@@ -185,6 +185,16 @@ class OrderItem(Node):
 
 
 @dataclass
+class SetOp(Node):
+    left: Node                       # Select | SetOp
+    right: Node
+    op: str                          # union | intersect | except
+    all: bool = False
+    order_by: List["OrderItem"] = field(default_factory=list)
+    limit: Optional[int] = None
+
+
+@dataclass
 class Select(Node):
     items: List[SelectItem]
     from_: List[Node]                # TableRef | SubqueryRef | JoinRef

@@ -107,11 +107,27 @@ class Parser:
 
     # --- entry ---
 
-    def parse(self) -> ast.Select:
-        sel = self.parse_select()
+    def parse(self):
+        sel = self.parse_query()
         self.accept("op", ";")
         self.expect("eof")
         return sel
+
+    def parse_query(self):
+        """select_core ((UNION|INTERSECT|EXCEPT) [ALL] select_core)*
+        with trailing ORDER BY/LIMIT attached to the whole set op."""
+        left = self.parse_select()
+        while self.at_kw("union", "intersect", "except"):
+            op = self.next().value
+            all_ = bool(self.accept("kw", "all"))
+            self.accept("kw", "distinct")
+            right = self.parse_select()
+            # ORDER BY / LIMIT greedily parsed into the right arm belong to
+            # the set operation as a whole
+            order_by, limit = right.order_by, right.limit
+            right.order_by, right.limit = [], None
+            left = ast.SetOp(left, right, op, all_, order_by, limit)
+        return left
 
     def parse_select(self) -> ast.Select:
         ctes: List[Tuple[str, ast.Select]] = []
@@ -120,7 +136,7 @@ class Parser:
                 name = self.expect("name").value
                 self.expect("kw", "as")
                 self.expect("op", "(")
-                q = self.parse_select()
+                q = self.parse_query()
                 self.expect("op", ")")
                 ctes.append((name, q))
                 if not self.accept("op", ","):
@@ -206,7 +222,7 @@ class Parser:
 
     def parse_relation_primary(self) -> ast.Node:
         if self.accept("op", "("):
-            q = self.parse_select()
+            q = self.parse_query()
             self.expect("op", ")")
             self.accept("kw", "as")
             alias = self.expect("name").value
@@ -216,6 +232,8 @@ class Parser:
                     col_aliases.append(self.expect("name").value)
                 self.expect("op", ")")
                 # rename query outputs positionally
+                assert isinstance(q, ast.Select), \
+                    "column aliases on set operations unsupported"
                 assert len(col_aliases) == len(q.items), \
                     "column alias count mismatch"
                 q = ast.Select(

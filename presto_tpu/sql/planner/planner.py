@@ -125,16 +125,79 @@ class Planner:
 
     # ---- entry ----
 
-    def plan(self, query: ast.Select) -> P.PhysOp:
-        rel = self.plan_select(query, outer=None)
+    def plan(self, query) -> P.PhysOp:
+        rel = self.plan_query(query, outer=None)
         return rel.plan
+
+    def plan_query(self, q, outer) -> Rel:
+        if isinstance(q, ast.SetOp):
+            return self.plan_setop(q, outer)
+        return self.plan_select(q, outer)
+
+    def plan_setop(self, q: ast.SetOp, outer) -> Rel:
+        """UNION [ALL] / INTERSECT / EXCEPT (reference: UnionNode +
+        SetOperationNodeTranslator — distinct set ops lower to aggregation
+        and semi/anti joins)."""
+        left = self.plan_query(q.left, outer)
+        right = self.plan_query(q.right, outer)
+        lnames = _output_order(left.plan)
+        rnames = _output_order(right.plan)
+        assert len(lnames) == len(rnames), "set operands differ in arity"
+        # align right outputs positionally to left names/types
+        projections = []
+        for ln, rn in zip(lnames, rnames):
+            lt = left.scope.resolve((ln,))[1]
+            rt = right.scope.resolve((rn,))[1]
+            e: ir.Expr = ir.ColumnRef(rn, rt)
+            if T.is_decimal(lt) and T.is_decimal(rt) and lt.scale != rt.scale:
+                e = ir.Cast(e, lt)
+            projections.append((ln, e))
+        right_plan = P.PhysProject(right.plan, tuple(projections))
+
+        scope = Scope()
+        for ln in lnames:
+            scope.add(None, ln, ln, left.scope.resolve((ln,))[1])
+        types = {ln: left.scope.resolve((ln,))[1] for ln in lnames}
+        gb = tuple((n, ir.ColumnRef(n, types[n])) for n in lnames)
+
+        if q.op == "union":
+            plan = P.PhysConcat((left.plan, right_plan))
+            if not q.all:
+                plan = P.PhysHashAggregate(plan, gb, (), ndv_hint=4096)
+        elif q.op in ("intersect", "except"):
+            # distinct semantics: dedup left, then semi/anti join right
+            dl = P.PhysHashAggregate(left.plan, gb, (), ndv_hint=4096)
+            plan = P.PhysHashJoin(
+                dl, right_plan,
+                tuple(ir.ColumnRef(n, types[n]) for n in lnames),
+                tuple(ir.ColumnRef(n, types[n]) for n in lnames),
+                kind="semi" if q.op == "intersect" else "anti",
+                unique_build=False)
+        else:
+            raise NotImplementedError(q.op)
+        out = Rel(plan, scope, set(lnames), [frozenset(lnames)],
+                  left.est + right.est)
+        if q.order_by:
+            keys = []
+            for oi in q.order_by:
+                if isinstance(oi.expr, ast.NumberLit):
+                    n = lnames[int(oi.expr.text) - 1]
+                    keys.append((ir.ColumnRef(n, types[n]), oi.descending))
+                else:
+                    keys.append((self.resolve(oi.expr, scope, None),
+                                 oi.descending))
+            out.plan = P.PhysSort(out.plan, tuple(keys), q.limit)
+        elif q.limit is not None:
+            out.plan = P.PhysSort(out.plan, ((ir.lit_bigint(0), False),),
+                                  q.limit)
+        return out
 
     # ---- relations ----
 
     def plan_table(self, ref: ast.TableRef) -> Rel:
         name = ref.catalog_parts[-1].lower()
         if name in self.ctes:
-            sub = self.plan_select(self.ctes[name], outer=None)
+            sub = self.plan_query(self.ctes[name], outer=None)
             return self._aliased_subquery(sub, ref.alias or name)
         if name not in SCH.TABLE_SCHEMAS:
             raise KeyError(f"unknown table {name}")
@@ -403,7 +466,7 @@ class Planner:
             if isinstance(r, ast.TableRef):
                 rels.append(self.plan_table(r))
             elif isinstance(r, ast.SubqueryRef):
-                sub = self.plan_select(r.query, outer=None)
+                sub = self.plan_query(r.query, outer=None)
                 rels.append(self._aliased_subquery(sub, r.alias))
             elif isinstance(r, ast.JoinRef):
                 if r.kind in ("inner", "cross"):
@@ -1161,7 +1224,7 @@ class SubqueryParts:
             if isinstance(r, ast.TableRef):
                 self.rels.append(planner.plan_table(r))
             elif isinstance(r, ast.SubqueryRef):
-                sub = planner.plan_select(r.query, outer=None)
+                sub = planner.plan_query(r.query, outer=None)
                 self.rels.append(planner._aliased_subquery(sub, r.alias))
             elif isinstance(r, ast.JoinRef) and r.kind in ("inner", "cross"):
                 add(r.left)
@@ -1205,6 +1268,22 @@ class SubqueryParts:
                     self.corr_eq.append((e.right, e.left))
                     continue
             self.corr_other.append(e)
+
+
+def _output_order(plan: P.PhysOp) -> List[str]:
+    """Ordered output column names of a planned SELECT."""
+    if isinstance(plan, P.PhysProject):
+        return [n for n, _ in plan.projections]
+    if isinstance(plan, P.PhysHashAggregate):
+        return [n for n, _ in plan.groups] + [s.name for s in plan.aggs]
+    if isinstance(plan, (P.PhysFilter, P.PhysSort, P.PhysLimit)):
+        return _output_order(plan.child)
+    if isinstance(plan, P.PhysHashJoin):
+        return _output_order(plan.probe)
+    if isinstance(plan, P.PhysConcat):
+        return _output_order(plan.inputs[0])
+    raise NotImplementedError(
+        f"output order of {type(plan).__name__}")
 
 
 def _parse_type(name: str) -> T.DataType:

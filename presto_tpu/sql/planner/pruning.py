@@ -84,6 +84,10 @@ def prune(plan: P.PhysOp, required: Optional[Set[str]] = None) -> P.PhysOp:
                     *(s.arg for s in plan.functions)))
         prune(plan.child, child_req)
         return plan
+    if isinstance(plan, P.PhysConcat):
+        for c in plan.inputs:
+            prune(c, None)  # inputs are pre-projected to exact outputs
+        return plan
     if isinstance(plan, P.PhysScalarBind):
         bound = {n for n, _ in plan.bindings}
         child_req = None if required is None else set(required) - bound
