@@ -1,0 +1,137 @@
+"""Client API: DB-API 2.0-style connections + cursors.
+
+The single-process analogue of the reference's client stack
+(``client/trino-client`` StatementClientV1 + ``client/trino-jdbc``): a
+Connection binds a Session (schema + property overrides); Cursors execute
+SQL and iterate row tuples.  Query state moves through the same lifecycle
+states as the reference's FSM (``execution/QueryState.java``).
+"""
+
+from __future__ import annotations
+
+import enum
+import itertools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Iterator, List, Optional, Sequence, Tuple
+
+from ..exec.runner import LocalRunner
+from ..utils.config import EngineConfig, Session
+
+
+class QueryState(enum.Enum):
+    QUEUED = "QUEUED"
+    PLANNING = "PLANNING"
+    RUNNING = "RUNNING"
+    FINISHED = "FINISHED"
+    FAILED = "FAILED"
+
+
+_query_ids = itertools.count(1)
+
+
+@dataclass
+class QueryInfo:
+    query_id: str
+    sql: str
+    state: QueryState = QueryState.QUEUED
+    error: Optional[str] = None
+    elapsed_s: float = 0.0
+    rows: int = 0
+
+
+class Cursor:
+    def __init__(self, conn: "Connection"):
+        self.conn = conn
+        self.description: Optional[List[Tuple]] = None
+        self.rowcount = -1
+        self._rows: List[Tuple] = []
+        self._pos = 0
+        self.last_query: Optional[QueryInfo] = None
+
+    def execute(self, sql: str, params: Sequence[Any] = ()) -> "Cursor":
+        if params:
+            # simple positional '?' substitution (values are SQL-escaped)
+            for p in params:
+                lit = f"'{p}'" if isinstance(p, str) else repr(p)
+                sql = sql.replace("?", lit, 1)
+        info = QueryInfo(f"q_{next(_query_ids)}", sql)
+        self.last_query = info
+        self.conn._queries.append(info)
+        t0 = time.time()
+        try:
+            info.state = QueryState.PLANNING
+            table = self.conn._runner.run_sql(sql)
+            info.state = QueryState.FINISHED
+        except Exception as e:  # noqa: BLE001 - surface engine errors
+            info.state = QueryState.FAILED
+            info.error = f"{type(e).__name__}: {e}"
+            raise
+        finally:
+            info.elapsed_s = time.time() - t0
+        data = table.to_pydict()
+        names = list(data.keys())
+        self.description = [(n, None, None, None, None, None, None)
+                            for n in names]
+        self._rows = list(zip(*[data[n] for n in names])) if names else []
+        self._pos = 0
+        self.rowcount = len(self._rows)
+        info.rows = self.rowcount
+        return self
+
+    def fetchone(self) -> Optional[Tuple]:
+        if self._pos >= len(self._rows):
+            return None
+        row = self._rows[self._pos]
+        self._pos += 1
+        return row
+
+    def fetchmany(self, size: int = 1000) -> List[Tuple]:
+        out = self._rows[self._pos:self._pos + size]
+        self._pos += len(out)
+        return out
+
+    def fetchall(self) -> List[Tuple]:
+        out = self._rows[self._pos:]
+        self._pos = len(self._rows)
+        return out
+
+    def __iter__(self) -> Iterator[Tuple]:
+        while True:
+            r = self.fetchone()
+            if r is None:
+                return
+            yield r
+
+    def close(self):
+        self._rows = []
+
+
+class Connection:
+    def __init__(self, schema: str = "tiny",
+                 scale_factor: Optional[float] = None,
+                 session: Optional[Session] = None,
+                 config: Optional[EngineConfig] = None):
+        self.session = session or Session(schema=schema)
+        self.config = config or EngineConfig()
+        self._runner = LocalRunner(schema=self.session.schema,
+                                   scale_factor=scale_factor)
+        self._queries: List[QueryInfo] = []
+
+    def cursor(self) -> Cursor:
+        return Cursor(self)
+
+    def execute(self, sql: str) -> Cursor:
+        return self.cursor().execute(sql)
+
+    def queries(self) -> List[QueryInfo]:
+        """Query history (the ``/v1/query`` QueryResource analogue)."""
+        return list(self._queries)
+
+    def close(self):
+        pass
+
+
+def connect(schema: str = "tiny", scale_factor: Optional[float] = None,
+            **kw) -> Connection:
+    return Connection(schema=schema, scale_factor=scale_factor, **kw)

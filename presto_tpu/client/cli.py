@@ -1,0 +1,75 @@
+"""Interactive SQL REPL (the ``client/trino-cli`` Console analogue).
+
+Usage:  python -m presto_tpu.client.cli [--schema tiny|sf1|...] [--sf N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def format_table(names, rows, max_rows=100):
+    cols = [[str(n)] + [("NULL" if v is None else str(v))
+                        for v in (r[i] for r in rows[:max_rows])]
+            for i, n in enumerate(names)]
+    widths = [max(len(x) for x in c) for c in cols]
+    sep = "-+-".join("-" * w for w in widths)
+    out = [" | ".join(n.ljust(w) for n, w in zip(
+        [c[0] for c in cols], widths)), sep]
+    for i in range(min(len(rows), max_rows)):
+        out.append(" | ".join(c[i + 1].ljust(w)
+                              for c, w in zip(cols, widths)))
+    if len(rows) > max_rows:
+        out.append(f"... ({len(rows) - max_rows} more rows)")
+    return "\n".join(out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="presto-tpu")
+    ap.add_argument("--schema", default="tiny")
+    ap.add_argument("--sf", type=float, default=None)
+    ap.add_argument("-e", "--execute", default=None,
+                    help="execute one statement and exit")
+    args = ap.parse_args(argv)
+
+    from .api import connect
+    conn = connect(schema=args.schema, scale_factor=args.sf)
+
+    def run(sql: str):
+        t0 = time.time()
+        try:
+            cur = conn.execute(sql)
+        except Exception as e:  # noqa: BLE001
+            print(f"error: {e}", file=sys.stderr)
+            return
+        rows = cur.fetchall()
+        names = [d[0] for d in cur.description or []]
+        print(format_table(names, rows))
+        print(f"({len(rows)} rows in {time.time() - t0:.2f}s)")
+
+    if args.execute:
+        run(args.execute)
+        return
+
+    print(f"presto_tpu CLI — schema {args.schema}"
+          f"{'' if args.sf is None else f' (sf={args.sf})'}; "
+          "end statements with ';', \\q to quit")
+    buf = []
+    while True:
+        try:
+            line = input("tpu> " if not buf else "  -> ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return
+        if line.strip() in ("\\q", "quit", "exit"):
+            return
+        buf.append(line)
+        if line.rstrip().endswith(";"):
+            run("\n".join(buf))
+            buf = []
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,16 @@ from .physical import ExecContext, PhysOp, execute
 
 
 def _ensure_x64():
+    # this environment pre-imports jax before user code runs, so the
+    # JAX_PLATFORMS env var is not picked up at import time — honor it here
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            if jax.config.jax_platforms != plat:
+                jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass  # backend already initialized
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
 
