@@ -571,13 +571,37 @@ class Planner:
             gb = tuple((n, ir.ColumnRef(n, e.dtype)) for n, e in items)
             out.plan = P.PhysHashAggregate(out.plan, gb, (), ndv_hint=4096)
 
-        # 8. order/limit
+        # 8. order/limit (sort keys may reference non-output columns —
+        # carried as hidden projection columns, dropped after the sort)
         if q.order_by:
             keys = []
+            hidden = []
+            out_names = {n for n, _ in items}
             for oi in q.order_by:
                 e = self._resolve_order(oi.expr, out_scope, post_scope, items)
+                for ref in ir.referenced_columns(e):
+                    if ref not in out_names and \
+                            all(h != ref for h in hidden):
+                        hidden.append(ref)
                 keys.append((e, oi.descending))
-            out.plan = P.PhysSort(out.plan, tuple(keys), q.limit)
+            if hidden:
+                if q.distinct:
+                    raise NotImplementedError(
+                        "SELECT DISTINCT with ORDER BY on hidden columns")
+                src_scope = post_scope
+                extra = []
+                for h in hidden:
+                    hit = src_scope.resolve((h,))
+                    if hit is None:
+                        raise KeyError(f"order key column {h}")
+                    extra.append((h, ir.ColumnRef(hit[0], hit[1])))
+                proj2 = P.PhysProject(cur.plan, tuple(items) + tuple(extra))
+                sorted_plan = P.PhysSort(proj2, tuple(keys), q.limit)
+                out.plan = P.PhysProject(
+                    sorted_plan,
+                    tuple((n, ir.ColumnRef(n, e.dtype)) for n, e in items))
+            else:
+                out.plan = P.PhysSort(out.plan, tuple(keys), q.limit)
         elif q.limit is not None:
             # static-slice limit requires front-compacted rows
             out.plan = P.PhysSort(
