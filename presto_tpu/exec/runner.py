@@ -52,14 +52,60 @@ class LocalRunner:
         from ..sql.planner.planner import Planner
         from ..sql.planner.pruning import prune
         query = parse(sql)
-        plan = Planner(self.datasource.sf).plan(query)
+        extra = {name: self.datasource.memory_schema(name)
+                 for name in self.datasource.memory}
+        plan = Planner(self.datasource.sf, extra_tables=extra).plan(query)
         return prune(plan, None)
+
+    def _maybe_ddl(self, sql: str) -> Optional[Table]:
+        """CREATE TABLE AS / INSERT INTO / DROP TABLE (the writable memory
+        connector path: TableWriterOperator/TableFinishOperator analogue)."""
+        import re as _re
+
+        def one_row(**kv):
+            from ..data.column import Column
+            import numpy as np
+            from ..data import types as T
+            return Table({k: Column(T.BIGINT, np.array([v], np.int64))
+                          for k, v in kv.items()})
+
+        m = _re.match(r"\s*create\s+table\s+(\w+)\s+as\s+(.*)$", sql,
+                      _re.I | _re.S)
+        if m:
+            name, query = m.group(1).lower(), m.group(2)
+            result = self.run_sql(query)
+            self.datasource.create_table(name, result)
+            return one_row(rows=result.row_count)
+        m = _re.match(r"\s*insert\s+into\s+(\w+)\s+(.*)$", sql, _re.I | _re.S)
+        if m:
+            name, query = m.group(1).lower(), m.group(2)
+            result = self.run_sql(query)
+            self.datasource.insert_into(name, result)
+            return one_row(rows=result.row_count)
+        m = _re.match(r"\s*drop\s+table\s+(?:if\s+exists\s+)?(\w+)\s*;?\s*$",
+                      sql, _re.I)
+        if m:
+            name = m.group(1).lower()
+            if name in self.datasource.memory:
+                self.datasource.drop_table(name)
+            return one_row(dropped=1)
+        m = _re.match(r"\s*show\s+tables\s*;?\s*$", sql, _re.I)
+        if m:
+            from ..tpch.schema import TABLE_SCHEMAS
+            from ..data.column import bytes_column
+            from ..data import types as T
+            names = sorted(TABLE_SCHEMAS) + sorted(self.datasource.memory)
+            return Table({"table": bytes_column(T.varchar(64), names)})
+        return None
 
     def run_sql(self, sql: str, fused: Optional[bool] = None) -> Table:
         import re as _re
         m = _re.match(r"\s*explain(\s+analyze)?\s+", sql, _re.I)
         if m:
             return self._explain(sql[m.end():], analyze=bool(m.group(1)))
+        ddl = self._maybe_ddl(sql)
+        if ddl is not None:
+            return ddl
         plan = self.plan_sql(sql)
         if fused is not False:
             try:

@@ -101,11 +101,13 @@ class Rel:
 # ---------------------------------------------------------------- planner
 
 class Planner:
-    def __init__(self, scale_factor: float):
+    def __init__(self, scale_factor: float, extra_tables=None):
         self.sf = scale_factor
         self.counter = 0
         self.used_prefixes: Set[str] = set()
         self.ctes: Dict[str, ast.Select] = {}
+        # user tables from the writable memory catalog: name → [(col, type)]
+        self.extra_tables: Dict[str, list] = extra_tables or {}
 
     def fresh(self, base: str) -> str:
         self.counter += 1
@@ -199,6 +201,8 @@ class Planner:
         if name in self.ctes:
             sub = self.plan_query(self.ctes[name], outer=None)
             return self._aliased_subquery(sub, ref.alias or name)
+        if name in self.extra_tables:
+            return self._plan_memory_table(ref, name)
         if name not in SCH.TABLE_SCHEMAS:
             raise KeyError(f"unknown table {name}")
         prefix = ""
@@ -223,6 +227,26 @@ class Planner:
         uk = [frozenset(prefix + k for k in SCH.PRIMARY_KEYS[name])]
         est = SCH.CATALOG.row_count(SCH.TableHandle(name, self.sf))
         return Rel(plan, scope, cols, uk, est)
+
+    def _plan_memory_table(self, ref: ast.TableRef, name: str) -> Rel:
+        """Scan of a writable memory-catalog table (plugin/trino-memory)."""
+        cols_types = self.extra_tables[name]
+        prefix = ""
+        if ref.alias and ref.alias != name:
+            prefix = ref.alias + "__"
+            while prefix in self.used_prefixes:
+                prefix += "x"
+            self.used_prefixes.add(prefix)
+        alias = ref.alias or name
+        scope = Scope()
+        cols = set()
+        for cname, ctype in cols_types:
+            phys = prefix + cname
+            cols.add(phys)
+            scope.add(alias, cname, phys, ctype)
+        plan = P.PhysScan(name, tuple(c for c, _ in cols_types),
+                          alias_prefix=prefix)
+        return Rel(plan, scope, cols, [], 10_000.0)
 
     def _aliased_subquery(self, sub: Rel, alias: str) -> Rel:
         """Rename subquery outputs into an alias-prefixed namespace."""
