@@ -1,0 +1,80 @@
+"""TPC-H 22-query wall-clock suite (benchto-style harness.
+
+Reference: ``testing/trino-benchto-benchmarks/.../tpch.yaml`` — prewarm +
+measured runs per query).  Prints one JSON line per query plus a summary.
+
+Usage: python bench_suite.py [SF] [--runs N] [--paths fused,ops,dist]
+"""
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf", nargs="?", type=float, default=1.0)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--prewarm", type=int, default=1)
+    ap.add_argument("--path", default="fused", choices=["fused", "ops", "dist"])
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated query ids (default all)")
+    args = ap.parse_args()
+
+    jax.config.update("jax_enable_x64", True)
+
+    from presto_tpu.tpch.queries import QUERIES
+
+    if args.path == "dist":
+        from presto_tpu.parallel import distributed as D
+        mesh = D.make_mesh()
+        runner = D.DistributedRunner(mesh, args.sf)
+
+        def run(q):
+            return runner.run_sql(QUERIES[q])
+    else:
+        from presto_tpu.exec.runner import LocalRunner
+        runner = LocalRunner(scale_factor=args.sf)
+        fused = args.path == "fused"
+
+        def run(q):
+            return runner.run_sql(QUERIES[q], fused=None if fused else False)
+
+    qids = ([int(x) for x in args.queries.split(",")]
+            if args.queries else sorted(QUERIES))
+    total = 0.0
+    results = []
+    for qid in qids:
+        try:
+            for _ in range(args.prewarm):
+                run(qid)
+            times = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                out = run(qid)
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            total += best
+            rec = {"query": f"q{qid:02d}", "wall_s": round(best, 4),
+                   "rows": out.row_count}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"query": f"q{qid:02d}",
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+    print(json.dumps({
+        "metric": f"TPC-H {len(results)}-query suite SF{args.sf:g} "
+                  f"({args.path})",
+        "value": round(total, 3), "unit": "s",
+        "per_query_geomean_s": round(
+            float(__import__('numpy').exp(__import__('numpy').mean(
+                [__import__('numpy').log(max(r['wall_s'], 1e-4))
+                 for r in results]))), 4) if results else None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
