@@ -26,12 +26,14 @@ class DataSource:
         self._nrows: Dict[str, int] = {}
         # writable in-memory catalog (the plugin/trino-memory analogue)
         self.memory: Dict[str, "Table"] = {}
+        self.catalog_version = 0  # bumped on DDL/DML; invalidates plan caches
 
     def memory_schema(self, name: str):
         t = self.memory[name]
         return [(cname, col.dtype) for cname, col in t.columns.items()]
 
     def create_table(self, name: str, table) -> None:
+        self.catalog_version += 1
         self.memory[name] = table
         # drop any cached device columns of a replaced table
         for key in [k for k in self._cols if k[0] == name]:
@@ -51,6 +53,7 @@ class DataSource:
         self.create_table(name, HostTable(merged))
 
     def drop_table(self, name: str) -> None:
+        self.catalog_version += 1
         del self.memory[name]
         for key in [k for k in self._cols if k[0] == name]:
             del self._cols[key]
