@@ -93,6 +93,7 @@ def repartition(chunk: Chunk, keys: Sequence[jnp.ndarray],
                               jnp.cumsum(counts[:-1], dtype=jnp.int32)])
     pos = jnp.arange(n, dtype=jnp.int32) - starts[jnp.minimum(sorted_dest, nd)]
     ok = (sorted_dest < nd) & (pos < cap)
+    overflow = ((sorted_dest < nd) & (pos >= cap)).any()
     slot = jnp.where(ok, sorted_dest * cap + pos, nd * cap)
 
     def xchg_sorted(x_sorted, fill=0):
@@ -116,7 +117,7 @@ def repartition(chunk: Chunk, keys: Sequence[jnp.ndarray],
             None if c.lengths is None else xchg(c.lengths),
             None if c.validity is None else xchg(c.validity, fill=False),
             c.dictionary)
-    return Chunk(cols, new_mask)
+    return Chunk(cols, new_mask), overflow
 
 
 # ---------------------------------------------------------------- traced exec
@@ -405,7 +406,10 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
         # group lands wholly on one device, aggregate locally (including
         # distinct dedup), then replicate the disjoint partial outputs
         gkeys = PH._key_arrays(child, tuple(e for _, e in plan.groups))
-        routed = repartition(child, gkeys, slack=4)
+        routed, r_ovf = repartition(
+            child, gkeys, slack=4 * (ctx.cap_multiplier or 1))
+        if ctx.overflow is not None:
+            ctx.overflow.append(r_ovf)
         local = _replicated_local_agg(plan, routed, ctx)
         return allgather_chunk(local), True
     capacity = min(max(64, HT.capacity_for(plan.ndv_hint)),
@@ -667,21 +671,31 @@ class DistributedRunner:
                 meta[(table, name)] = (dc.dtype, dc.kind, dc.dictionary)
             masks[table] = mask
 
-        def stage(vals, msks):
-            shards = {
-                k: DCol(meta[k][0], meta[k][1], v, l, None, meta[k][2])
-                for k, (v, l) in vals.items()}
-            ctx = TraceCtx(shards, msks, self.sf)
-            out, rep = execute_traced(plan, ctx)
-            return out if rep else allgather_chunk(out)
-
         from jax.experimental.shard_map import shard_map
-        fn = shard_map(stage, mesh=self.mesh,
-                       in_specs=(P("d"), P("d")), out_specs=P(),
-                       check_rep=False)
-        out_chunk = jax.jit(fn)(shard_vals, masks)
         from ..exec.runner import materialize
-        return materialize(out_chunk)
+
+        mult = 1
+        while True:
+            def stage(vals, msks, mult=mult):
+                shards = {
+                    k: DCol(meta[k][0], meta[k][1], v, l, None, meta[k][2])
+                    for k, (v, l) in vals.items()}
+                ctx = TraceCtx(shards, msks, self.sf,
+                               cap_multiplier=mult, overflow=[])
+                out, rep = execute_traced(plan, ctx)
+                out = out if rep else allgather_chunk(out)
+                ovf = (jnp.stack(ctx.overflow).any() if ctx.overflow
+                       else jnp.bool_(False))
+                return out, ovf[None]
+
+            fn = shard_map(stage, mesh=self.mesh,
+                           in_specs=(P("d"), P("d")),
+                           out_specs=(P(), P("d")),
+                           check_rep=False)
+            out_chunk, ovf = jax.jit(fn)(shard_vals, masks)
+            if not bool(np.asarray(ovf).any()):
+                return materialize(out_chunk)
+            mult *= 8
 
     def run_sql(self, sql: str):
         from ..exec.runner import LocalRunner  # reuse planner path

@@ -68,7 +68,7 @@ def test_repartition_roundtrip(mesh):
     def stage(k, v, m):
         chunk = Chunk({"k": DCol(T.BIGINT, PLAIN, k),
                        "v": DCol(T.BIGINT, PLAIN, v)}, m)
-        out = D.repartition(chunk, [k], slack=8)
+        out, _overflow = D.repartition(chunk, [k], slack=8)
         # per-device sums of received (masked) rows
         s = jnp.sum(jnp.where(out.mask, out.cols["v"].values, 0))
         c = jnp.sum(out.mask)
