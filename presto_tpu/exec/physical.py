@@ -257,10 +257,14 @@ def execute(plan: PhysOp, ctx: ExecContext) -> Chunk:
     wall = (_time.perf_counter() - t0) * 1000
     import jax.numpy as _jnp
     rows = int(_jnp.sum(out.mask))
+    nbytes = sum(int(c.values.size) * c.values.dtype.itemsize
+                 + (0 if c.lengths is None else int(c.lengths.nbytes))
+                 for c in out.cols.values()) + int(out.mask.nbytes)
     self_ms = wall - sum(ctx.node_stats.get(id(c), {}).get("tree_ms", 0)
                          for c in plan.children())
     ctx.node_stats[id(plan)] = {
-        "rows": rows, "wall_ms": max(self_ms, 0.0), "tree_ms": wall}
+        "rows": rows, "wall_ms": max(self_ms, 0.0), "tree_ms": wall,
+        "bytes": nbytes}
     return out
 
 

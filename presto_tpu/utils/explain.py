@@ -94,8 +94,10 @@ def explain(plan: P.PhysOp, stats: Optional[Dict[int, dict]] = None) -> str:
         note = ""
         if stats and id(p) in stats:
             s = stats[id(p)]
+            mb = s.get("bytes", 0) / 1e6
             note = (f"   {{rows: {s.get('rows', '?')}, "
-                    f"wall: {s.get('wall_ms', 0):.1f}ms}}")
+                    f"wall: {s.get('wall_ms', 0):.1f}ms, "
+                    f"mem: {mb:.1f}MB}}")
         lines.append("    " * depth + "- " + _node_label(p) + note)
         for c in p.children():
             walk(c, depth + 1)
