@@ -163,10 +163,12 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
         return eval_expr(ir.and_(lo, hi), chunk)
 
     if isinstance(expr, ir.Case):
+        rt = expr.dtype
+        if T.is_string(rt):
+            return _eval_case_bytes(expr, chunk)
         out = None
         valid = None
         taken = jnp.zeros((n,), jnp.bool_)
-        rt = expr.dtype
         rs = _scale_of(rt)
         for cond, val in expr.whens:
             c = eval_expr(cond, chunk)
@@ -324,6 +326,40 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
         return DCol(T.DOUBLE, PLAIN, jnp.sqrt(v),
                     validity=_and_validity(a.validity, a.values >= 0))
     raise NotImplementedError(f"scalar function {name}")
+
+
+def _eval_case_bytes(expr: ir.Case, chunk: Chunk) -> DCol:
+    """CASE with string-typed branches: byte-matrix selection."""
+    n = chunk.n_rows
+    branches = []  # (cond_mask, DCol)
+    taken = jnp.zeros((n,), jnp.bool_)
+    for cond, val in expr.whens:
+        c = eval_expr(cond, chunk)
+        cm = c.values.astype(jnp.bool_) & c.valid_or_true() & ~taken
+        v = eval_expr(val, chunk)
+        if v.kind == DICT:
+            from .physical import dcol_to_bytes  # lazy: avoid import cycle
+            v = dcol_to_bytes(v)
+        assert v.kind == BYTES
+        branches.append((cm, v))
+        taken = taken | cm
+    if expr.default is not None:
+        d = eval_expr(expr.default, chunk)
+        if d.kind == DICT:
+            from .physical import dcol_to_bytes
+            d = dcol_to_bytes(d)
+        branches.append((~taken, d))
+        valid_else = None
+    w = max(b.values.shape[1] for _, b in branches)
+    out = jnp.zeros((n, w), jnp.uint8)
+    lens = jnp.zeros((n,), jnp.int32)
+    valid = jnp.zeros((n,), jnp.bool_)
+    for cm, b in branches:
+        bv = jnp.pad(b.values, ((0, 0), (0, w - b.values.shape[1])))
+        out = jnp.where(cm[:, None], bv, out)
+        lens = jnp.where(cm, b.lengths, lens)
+        valid = jnp.where(cm, b.valid_or_true(), valid)
+    return DCol(expr.dtype, BYTES, out, lens, valid)
 
 
 def _host_like(s: str, pattern: str) -> bool:

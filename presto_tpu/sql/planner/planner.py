@@ -857,6 +857,17 @@ class Planner:
     def resolve_post_agg(self, node: ast.Node, post_scope: Scope) -> ir.Expr:
         if isinstance(node, ast.FuncCall) and node.name in AGG_FUNCS:
             return self._agg_ref(node)
+        # the whole expression may be a GROUP BY expression (e.g. grouping
+        # by a CASE and selecting the same CASE)
+        if not isinstance(node, (ast.NumberLit, ast.StringLit, ast.DateLit,
+                                 ast.Ident)):
+            try:
+                e = self.resolve(node, self._cur_scope, self._cur_outer)
+                if e in self._group_map:
+                    gname, gd = self._group_map[e]
+                    return ir.ColumnRef(gname, gd)
+            except Exception:  # noqa: BLE001 - contains aggs/unresolvables
+                pass
         if isinstance(node, ast.Ident):
             hit = post_scope.resolve(node.parts)
             if hit:
