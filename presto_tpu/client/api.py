@@ -17,6 +17,8 @@ from typing import Any, Iterator, List, Optional, Sequence, Tuple
 
 from ..exec.runner import LocalRunner
 from ..utils.config import EngineConfig, Session
+from ..utils.events import (EventListenerManager, QueryCompletedEvent,
+                            QueryCreatedEvent)
 
 
 class QueryState(enum.Enum):
@@ -58,6 +60,8 @@ class Cursor:
         info = QueryInfo(f"q_{next(_query_ids)}", sql)
         self.last_query = info
         self.conn._queries.append(info)
+        self.conn.events.query_created(QueryCreatedEvent(
+            info.query_id, sql, self.conn.session.user))
         t0 = time.time()
         try:
             info.state = QueryState.PLANNING
@@ -69,6 +73,9 @@ class Cursor:
             raise
         finally:
             info.elapsed_s = time.time() - t0
+            self.conn.events.query_completed(QueryCompletedEvent(
+                info.query_id, sql, self.conn.session.user,
+                info.state.value, info.elapsed_s, info.rows, info.error))
         data = table.to_pydict()
         names = list(data.keys())
         self.description = [(n, None, None, None, None, None, None)
@@ -117,6 +124,7 @@ class Connection:
         self._runner = LocalRunner(schema=self.session.schema,
                                    scale_factor=scale_factor)
         self._queries: List[QueryInfo] = []
+        self.events = EventListenerManager()
 
     def cursor(self) -> Cursor:
         return Cursor(self)
