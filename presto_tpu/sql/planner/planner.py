@@ -967,8 +967,31 @@ class Planner:
                 l, r = (le, re_) if ci < cj else (re_, le)
                 edges.setdefault((a, b), []).append((l, r))
             if not edges:
-                raise NotImplementedError(
-                    "cross join between unconnected relations")
+                # cross join (NestedLoopJoinOperator analogue): expand join
+                # on a constant key — build side = smallest component
+                comps.sort(key=lambda r: r.est)
+                small, big = comps[0], comps[1]
+                payload = tuple((c, c) for c in sorted(small.columns))
+                plan = P.PhysHashJoin(
+                    big.plan, small.plan,
+                    (ir.lit_bigint(0),), (ir.lit_bigint(0),),
+                    kind="inner", unique_build=False, build_payload=payload)
+                merged = Rel(plan, big.scope.merged(small.scope),
+                             big.columns | small.columns,
+                             [bu | su for bu in big.unique_keys
+                              for su in small.unique_keys],
+                             big.est * max(small.est, 1))
+                new_pending = []
+                for c in pending:
+                    refs = set(ir.referenced_columns(c))
+                    if refs <= merged.columns:
+                        merged.plan = P.PhysFilter(merged.plan, c)
+                        merged.est *= self._selectivity(c)
+                    else:
+                        new_pending.append(c)
+                pending = new_pending
+                comps = [merged] + comps[2:]
+                continue
             # pick the edge whose smaller side is smallest (build small first)
             (a, b), keys = min(
                 edges.items(),

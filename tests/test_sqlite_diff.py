@@ -78,6 +78,10 @@ QUERIES = [
     "select c.c_custkey, count(o.o_orderkey) from customer c "
     "  left outer join orders o on c.c_custkey = o.o_custkey "
     "  where c.c_custkey <= 9 group by c.c_custkey",
+    "select count(*) from nation, region",
+    "select r_name, n_name from region cross join nation "
+    "  where n_regionkey = 0 and r_regionkey = 4",
+    "select r_name, count(*) from region cross join nation group by r_name",
 ]
 
 # engine-side rewrites: '%' → mod(); decimal literals scale-adjusted (the
