@@ -445,6 +445,15 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
         if spec.func == "row_number":
             res, valid = W.row_number(part_start), None
             ot = T.BIGINT
+        elif spec.func == "percent_rank":
+            res, valid = W.percent_rank(part_start, peer_start), None
+            ot = T.DOUBLE
+        elif spec.func == "cume_dist":
+            res, valid = W.cume_dist(part_start, peer_start), None
+            ot = T.DOUBLE
+        elif spec.func == "ntile":
+            res = W.ntile(part_start, jnp.int64(spec.offset))
+            valid, ot = None, T.BIGINT
         elif spec.func == "rank":
             res, valid = W.rank(part_start, peer_start), None
             ot = T.BIGINT
@@ -463,6 +472,24 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
             sv = c.values[perm]
             res = sv[jnp.maximum(part_start, 0)]
             valid = c.valid_or_true()[perm][jnp.maximum(part_start, 0)]
+            ot = c.dtype
+        elif spec.func == "last_value":
+            # default frame ends at the current peer run
+            c = eval_expr(spec.arg, chunk)
+            sv = c.values[perm]
+            pe2 = W.peer_ends(peer_start)
+            res = sv[pe2]
+            valid = c.valid_or_true()[perm][pe2]
+            ot = c.dtype
+        elif spec.func == "nth_value":
+            c = eval_expr(spec.arg, chunk)
+            sv = c.values[perm]
+            pos = part_start + spec.offset - 1
+            pe2 = W.peer_ends(peer_start)
+            inframe = pos <= pe2
+            pos_c = jnp.clip(pos, 0, n - 1)
+            res = sv[pos_c]
+            valid = inframe & c.valid_or_true()[perm][pos_c]
             ot = c.dtype
         elif spec.func in ("sum", "count", "min", "max", "avg", "count_star"):
             if spec.func == "count_star":

@@ -82,6 +82,38 @@ def peer_ends(peer_start: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(jax.lax.cummin(jnp.flip(marker)))
 
 
+def partition_counts(part_start: jnp.ndarray) -> jnp.ndarray:
+    """Rows in each position's partition (part_end - part_start + 1)."""
+    return peer_ends(part_start) - part_start + 1
+
+
+def percent_rank(part_start, peer_start) -> jnp.ndarray:
+    cnt = partition_counts(part_start)
+    rk = rank(part_start, peer_start)
+    return jnp.where(cnt > 1, (rk - 1).astype(jnp.float64)
+                     / jnp.maximum(cnt - 1, 1), 0.0)
+
+
+def cume_dist(part_start, peer_start) -> jnp.ndarray:
+    cnt = partition_counts(part_start)
+    pe = peer_ends(peer_start)
+    return (pe - part_start + 1).astype(jnp.float64) / jnp.maximum(cnt, 1)
+
+
+def ntile(part_start, n: jnp.ndarray) -> jnp.ndarray:
+    """Equal-height buckets; first (count mod n) buckets one row larger."""
+    cnt = partition_counts(part_start)
+    rn0 = row_number(part_start) - 1
+    nn = jnp.minimum(n, jnp.maximum(cnt, 1))
+    small = cnt // nn
+    big = cnt % nn
+    boundary = big * (small + 1)
+    return jnp.where(
+        rn0 < boundary,
+        rn0 // jnp.maximum(small + 1, 1) + 1,
+        big + (rn0 - boundary) // jnp.maximum(small, 1) + 1)
+
+
 def shift_in_partition(values: jnp.ndarray, part_start: jnp.ndarray,
                        offset: int):
     """lead(+k)/lag(-k): value at position i+offset if same partition,

@@ -715,6 +715,20 @@ class Planner:
                         dtype = arg.dtype
                 elif fname in ("row_number", "rank", "dense_rank"):
                     dtype = T.BIGINT
+                elif fname in ("percent_rank", "cume_dist"):
+                    dtype = T.DOUBLE
+                elif fname == "ntile":
+                    nlit = self.resolve(w.func.args[0], cur.scope, outer)
+                    assert isinstance(nlit, ir.Literal)
+                    offset = int(nlit.value)
+                    dtype = T.BIGINT
+                elif fname in ("last_value", "nth_value"):
+                    arg = self.resolve(w.func.args[0], cur.scope, outer)
+                    if fname == "nth_value":
+                        klit = self.resolve(w.func.args[1], cur.scope, outer)
+                        assert isinstance(klit, ir.Literal)
+                        offset = int(klit.value)
+                    dtype = arg.dtype
                 else:
                     raise NotImplementedError(f"window function {fname}")
                 name = self.fresh("win")
