@@ -78,6 +78,10 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
     if isinstance(expr, ir.Literal):
         t = expr.dtype
         if expr.value is None:
+            if T.is_string(t):
+                return DCol(t, BYTES, jnp.zeros((n, 1), jnp.uint8),
+                            jnp.zeros((n,), jnp.int32),
+                            jnp.zeros((n,), jnp.bool_))
             return DCol(t, PLAIN, jnp.zeros((n,), jnp.int64),
                         validity=jnp.zeros((n,), jnp.bool_))
         if T.is_string(t):

@@ -148,6 +148,16 @@ class IsNullExpr(Node):
     negated: bool = False
 
 
+@dataclass
+class GroupingSets(Node):
+    sets: List[List[Node]]           # from GROUPING SETS / ROLLUP / CUBE
+
+
+@dataclass
+class TypedNull(Node):
+    of: Node                         # NULL typed like this expression
+
+
 # --- relations ---
 
 @dataclass

@@ -156,9 +156,13 @@ class Parser:
         group_by: List[ast.Node] = []
         if self.accept("kw", "group"):
             self.expect("kw", "by")
-            group_by.append(self.parse_expr())
-            while self.accept("op", ","):
+            gs = self._maybe_grouping_sets()
+            if gs is not None:
+                group_by.append(gs)
+            else:
                 group_by.append(self.parse_expr())
+                while self.accept("op", ","):
+                    group_by.append(self.parse_expr())
         having = self.parse_expr() if self.accept("kw", "having") else None
         order_by: List[ast.OrderItem] = []
         if self.accept("kw", "order"):
@@ -178,6 +182,46 @@ class Parser:
             limit = int(self.expect("number").value)
         return ast.Select(items, from_, where, group_by, having, order_by,
                           limit, distinct, ctes)
+
+    def _maybe_grouping_sets(self):
+        t = self.peek()
+        if t.kind != "name" or t.value not in ("grouping", "rollup", "cube"):
+            return None
+        if t.value == "grouping":
+            if self.peek(1).kind != "name" or self.peek(1).value != "sets":
+                return None
+            self.next(); self.next()
+            self.expect("op", "(")
+            sets = []
+            while True:
+                if self.accept("op", "("):
+                    one = []
+                    if not self.accept("op", ")"):
+                        one.append(self.parse_expr())
+                        while self.accept("op", ","):
+                            one.append(self.parse_expr())
+                        self.expect("op", ")")
+                    sets.append(one)
+                else:
+                    sets.append([self.parse_expr()])
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            return ast.GroupingSets(sets)
+        kind = self.next().value
+        self.expect("op", "(")
+        keys = [self.parse_expr()]
+        while self.accept("op", ","):
+            keys.append(self.parse_expr())
+        self.expect("op", ")")
+        if kind == "rollup":
+            sets = [keys[:i] for i in range(len(keys), -1, -1)]
+        else:  # cube: all subsets
+            sets = []
+            for m in range(1 << len(keys)):
+                sets.append([k for i, k in enumerate(keys) if m >> i & 1])
+            sets.sort(key=len, reverse=True)
+        return ast.GroupingSets(sets)
 
     def parse_select_item(self) -> ast.SelectItem:
         if self.accept("op", "*"):

@@ -134,7 +134,40 @@ class Planner:
     def plan_query(self, q, outer) -> Rel:
         if isinstance(q, ast.SetOp):
             return self.plan_setop(q, outer)
+        if isinstance(q, ast.Select) and q.group_by and \
+                isinstance(q.group_by[0], ast.GroupingSets):
+            return self.plan_grouping_sets(q, outer)
         return self.plan_select(q, outer)
+
+    def plan_grouping_sets(self, q: ast.Select, outer) -> Rel:
+        """GROUPING SETS / ROLLUP / CUBE → UNION ALL of per-set aggregations
+        with grouped-out keys projected as typed NULLs (the reference lowers
+        through GroupIdOperator row expansion; we expand at plan level)."""
+        gs = q.group_by[0]
+        assert len(q.group_by) == 1, "grouping sets mixed with plain keys"
+        arms = []
+        for keys in gs.sets:
+            keyset = list(keys)
+            items = []
+            for it in q.items:
+                e = it.expr
+                grouped_out = (
+                    any(e == full for full in _flatten_sets(gs))
+                    and not any(e == k for k in keyset))
+                items.append(ast.SelectItem(
+                    ast.TypedNull(e) if grouped_out else e, it.alias))
+            arms.append(ast.Select(items, q.from_, q.where, keyset,
+                                   q.having, [], None, False, q.with_ctes))
+        node = arms[0]
+        for arm in arms[1:]:
+            node = ast.SetOp(node, arm, "union", True)
+        if isinstance(node, ast.Select):
+            node = ast.SetOp(node, node, "union", True)  # degenerate: 1 set
+        node.order_by = q.order_by
+        node.limit = q.limit
+        if len(arms) == 1:
+            return self.plan_select(arms[0], outer)
+        return self.plan_setop(node, outer)
 
     def plan_setop(self, q: ast.SetOp, outer) -> Rel:
         """UNION [ALL] / INTERSECT / EXCEPT (reference: UnionNode +
@@ -391,6 +424,9 @@ class Planner:
         if isinstance(node, ast.IsNullExpr):
             return ir.IsNull(self._resolve(node.arg, scope, outer),
                              node.negated)
+        if isinstance(node, ast.TypedNull):
+            inner = self._resolve(node.of, scope, outer)
+            return ir.Literal(None, inner.dtype)
         if isinstance(node, ast.WindowExpr):
             wm = getattr(self, "_window_map", None)
             if wm is not None and id(node) in wm:
@@ -869,6 +905,9 @@ class Planner:
         return ir.ColumnRef(name, self._post_scope.resolve((name,))[1])
 
     def resolve_post_agg(self, node: ast.Node, post_scope: Scope) -> ir.Expr:
+        if isinstance(node, ast.TypedNull):
+            inner = self.resolve(node.of, self._cur_scope, self._cur_outer)
+            return ir.Literal(None, inner.dtype)
         if isinstance(node, ast.FuncCall) and node.name in AGG_FUNCS:
             return self._agg_ref(node)
         # the whole expression may be a GROUP BY expression (e.g. grouping
@@ -1380,6 +1419,15 @@ def _output_order(plan: P.PhysOp) -> List[str]:
         return _output_order(plan.inputs[0])
     raise NotImplementedError(
         f"output order of {type(plan).__name__}")
+
+
+def _flatten_sets(gs: ast.GroupingSets):
+    out = []
+    for keys in gs.sets:
+        for k in keys:
+            if not any(k == o for o in out):
+                out.append(k)
+    return out
 
 
 def _parse_type(name: str) -> T.DataType:

@@ -63,3 +63,22 @@ def test_date_parts(runner):
     for _, r in got.iterrows():
         d = dt.date(1970, 1, 1) + dt.timedelta(days=int(r.o_orderdate))
         assert (r.y, r.m, r.d) == (d.year, d.month, d.day)
+
+
+def test_grouping_sets(runner):
+    got = runner.run_sql(
+        "select n_regionkey, n_nationkey, count(*) c from nation "
+        "group by rollup(n_regionkey, n_nationkey) order by 1, 2").to_pandas()
+    assert len(got) == 31  # 25 detail + 5 per-region + 1 grand total
+    assert int(got[got.n_regionkey.isna()].c.iloc[0]) == 25
+    per_region = got[got.n_regionkey.notna() & got.n_nationkey.isna()]
+    assert per_region.c.sum() == 25
+    cube = runner.run_sql(
+        "select n_regionkey, count(*) c from nation "
+        "group by cube(n_regionkey)").to_pandas()
+    assert len(cube) == 6
+    gs = runner.run_sql(
+        "select r_name, count(*) c from region, nation "
+        "where r_regionkey = n_regionkey "
+        "group by grouping sets ((r_name), ())").to_pandas()
+    assert len(gs) == 6
