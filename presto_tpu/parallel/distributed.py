@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data import types as T
 from ..data.column import PLAIN, DICT, BYTES
 from ..exec import physical as PH
-from ..exec.columns import Chunk, DCol, from_host, to_host
+from ..exec.columns import Chunk, DCol, from_host
 from ..exec.expreval import eval_expr, eval_predicate, _scale_of
 from ..ops import agg as A
 from ..ops import decimal as DEC

@@ -589,7 +589,6 @@ class Planner:
         # 5. aggregation
         has_aggs = any(self._ast_has_agg(it.expr) for it in q.items) \
             or (q.having is not None) or bool(q.group_by)
-        order_scope_extra: Dict[str, Tuple[str, T.DataType]] = {}
 
         if has_aggs:
             cur, post_scope = self.apply_aggregation(cur, q, outer)
@@ -600,10 +599,6 @@ class Planner:
         items: List[Tuple[str, ir.Expr]] = []
         for i, it in enumerate(q.items):
             if isinstance(it.expr, ast.Star):
-                for (a, nme), (phys, dtype) in cur.scope.entries.items():
-                    if a is not None and all(p != phys for _, pdt in items
-                                             for p in [pdt]):
-                        pass
                 # expand distinct physical outputs
                 seen = set()
                 for (a, nme), (phys, dtype) in cur.scope.entries.items():

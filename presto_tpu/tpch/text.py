@@ -79,8 +79,30 @@ def _build_pool(pool_size: int, seed: int = 933588178) -> np.ndarray:
 
 def get_pool(pool_size: int = DEFAULT_POOL_SIZE) -> np.ndarray:
     if pool_size not in _POOL_CACHE:
-        _POOL_CACHE[pool_size] = _build_pool(pool_size)
+        _POOL_CACHE[pool_size] = _load_or_build(pool_size)
     return _POOL_CACHE[pool_size]
+
+
+def _load_or_build(pool_size: int) -> np.ndarray:
+    """Disk-cache the pool (grammar expansion is ~2s of pure Python;
+    dbgen amortizes the same way by building its pool once)."""
+    import os
+    import tempfile
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"presto_tpu_textpool_{pool_size}.bin")
+    try:
+        if os.path.exists(cache) and os.path.getsize(cache) == pool_size:
+            return np.fromfile(cache, dtype=np.uint8)
+    except OSError:
+        pass
+    pool = _build_pool(pool_size)
+    try:
+        tmp = cache + f".tmp{os.getpid()}"
+        pool.tofile(tmp)
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+    return pool
 
 
 def substrings(offsets: np.ndarray, lengths: np.ndarray, max_len: int,
