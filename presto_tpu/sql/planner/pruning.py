@@ -52,7 +52,9 @@ def prune(plan: P.PhysOp, required: Optional[Set[str]] = None) -> P.PhysOp:
                 or plan.aggs
         child_req = _refs(*(e for _, e in plan.groups),
                           *(s.arg for s in plan.aggs))
-        prune(plan.child, child_req or None)
+        # an empty set is meaningful (count(*) needs no columns): the scan
+        # keeps one narrow column to carry the row count
+        prune(plan.child, child_req)
         return plan
     if isinstance(plan, P.PhysHashJoin):
         filt = _refs(plan.filter)
