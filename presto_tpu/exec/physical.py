@@ -323,20 +323,27 @@ def _exec_limit(child: Chunk, n: int) -> Chunk:
 
 
 def _sort_traced(chunk: Chunk, keys) -> Chunk:
-    """Traced sort body (shared by local jit path and shard_map path)."""
+    """Traced sort body (shared by local jit path and shard_map path).
+
+    NULL keys sort as larger than any non-null value (Trino default:
+    NULLS LAST ascending, NULLS FIRST descending) — applied by replacing
+    null key values with +max BEFORE the descending bit-complement."""
     karrs: List[Tuple[jnp.ndarray, bool]] = []
     for e, desc in keys:
         c = eval_expr(e, chunk)
         if c.kind == BYTES:
-            for p in SORT.bytes_sort_keys(c.values, c.lengths):
-                karrs.append((p, desc))
+            packs = SORT.bytes_sort_keys(c.values, c.lengths)
         elif c.kind == DICT:
             # order by string value: host-computed rank of each code
             rank = np.argsort(np.argsort(
                 [str(s) for s in c.dictionary.strings]))
-            karrs.append((jnp.asarray(rank)[c.values], desc))
+            packs = [jnp.asarray(rank)[c.values]]
         else:
-            karrs.append((c.values, desc))
+            packs = [c.values]
+        for p in packs:
+            if c.validity is not None:
+                p = jnp.where(c.validity, p.astype(jnp.int64), SORT.I64_MAX)
+            karrs.append((p, desc))
     perm = SORT.argsort_multi(karrs, chunk.mask)
     cols = {n: c.take(perm) for n, c in chunk.cols.items()}
     return Chunk(cols, chunk.mask[perm])
