@@ -432,6 +432,12 @@ class Planner:
             if wm is not None and id(node) in wm:
                 return wm[id(node)]
             raise ValueError("window expression outside planned scope")
+        if isinstance(node, ast.ScalarSubquery):
+            sm = getattr(self, "_scalar_map", None)
+            if sm is not None and id(node) in sm:
+                return sm[id(node)]
+            raise NotImplementedError(
+                "scalar subquery in this position")
         if isinstance(node, ast.FuncCall):
             return self._resolve_scalar_func(node, scope, outer)
         raise NotImplementedError(type(node).__name__)
@@ -585,6 +591,9 @@ class Planner:
         # 4b. window functions (after joins/filters, before aggregation;
         # reference: WindowOperator planning in LocalExecutionPlanner)
         cur = self.apply_windows(cur, q, outer)
+
+        # 4c. scalar subqueries in the SELECT list → broadcast bindings
+        cur = self.apply_select_scalars(cur, q)
 
         # 5. aggregation
         has_aggs = any(self._ast_has_agg(it.expr) for it in q.items) \
@@ -768,6 +777,47 @@ class Planner:
                 cur.scope.add(None, name, name, dtype)
                 cur.columns.add(name)
             cur.plan = P.PhysWindow(cur.plan, pkey, okey, tuple(specs))
+        return cur
+
+    # ---- scalar subqueries in SELECT items ----
+
+    @staticmethod
+    def _collect_scalar_subqueries(node, out):
+        if isinstance(node, ast.ScalarSubquery):
+            out.append(node)
+            return
+        for attr in ("left", "right", "arg", "lo", "hi", "default"):
+            c = getattr(node, attr, None)
+            if isinstance(c, ast.Node):
+                Planner._collect_scalar_subqueries(c, out)
+        if isinstance(node, ast.CaseExpr):
+            for c, v in node.whens:
+                Planner._collect_scalar_subqueries(c, out)
+                Planner._collect_scalar_subqueries(v, out)
+        if isinstance(node, ast.FuncCall):
+            for a in node.args:
+                if isinstance(a, ast.Node):
+                    Planner._collect_scalar_subqueries(a, out)
+
+    def apply_select_scalars(self, cur: Rel, q: ast.Select) -> Rel:
+        subs: List[ast.ScalarSubquery] = []
+        for it in q.items:
+            if not isinstance(it.expr, ast.Star):
+                self._collect_scalar_subqueries(it.expr, subs)
+        if not subs:
+            return cur
+        self._scalar_map = getattr(self, "_scalar_map", {})
+        bindings = []
+        for sq in subs:
+            sub = self.plan_query(sq.query, outer=None)
+            (scol,) = list(sub.columns)
+            dtype = sub.scope.resolve((scol,))[1]
+            name = self.fresh("scalar")
+            bindings.append((name, sub.plan))
+            self._scalar_map[id(sq)] = ir.ColumnRef(name, dtype)
+            cur.scope.add(None, name, name, dtype)
+            cur.columns.add(name)
+        cur.plan = P.PhysScalarBind(cur.plan, tuple(bindings))
         return cur
 
     # ---- aggregation ----
