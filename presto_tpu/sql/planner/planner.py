@@ -576,13 +576,25 @@ class Planner:
 
         plain = [self.resolve(c, full_scope, outer) for c in plain_ast]
 
-        # 3. inner join tree
-        cur = self.build_join_tree(rels, plain)
+        # conjuncts referencing LEFT JOIN right sides apply AFTER the join
+        # (SQL semantics: WHERE over the joined relation; null rows fail)
+        base_cols = set()
+        for r in rels:
+            base_cols |= r.columns
+        now, deferred = [], []
+        for c in plain:
+            (now if set(ir.referenced_columns(c)) <= base_cols
+             else deferred).append(c)
 
-        # 3b. structured LEFT JOINs
+        # 3. inner join tree
+        cur = self.build_join_tree(rels, now)
+
+        # 3b. structured LEFT JOINs, then deferred conjuncts
         for left_idx, right_rel, on in left_specs:
             cur = self.apply_left_join(cur, right_rel, on, outer)
             full_scope = cur.scope
+        for c in deferred:
+            cur.plan = P.PhysFilter(cur.plan, c)
 
         # 4. subquery conjuncts
         for c in subq_ast:
@@ -620,6 +632,13 @@ class Planner:
             else:
                 e = self.resolve(it.expr, post_scope, outer)
             name = it.alias or self._derived_name(it.expr, i)
+            # duplicate output names get positional suffixes (columns are
+            # dict-keyed; both copies are still produced)
+            if any(n == name for n, _ in items):
+                k = 2
+                while any(n == f"{name}_{k}" for n, _ in items):
+                    k += 1
+                name = f"{name}_{k}"
             items.append((name, e))
 
         proj = P.PhysProject(cur.plan, tuple(items))
