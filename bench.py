@@ -7,6 +7,11 @@ fused single-program pipelines (scan arrays resident in HBM, one XLA
 program per query — the engine's hot path).  Both queries are verified
 bit-exact against the oracle by tests/; this measures the same kernels.
 
+Robustness: the measurement runs in a watchdog subprocess — if the TPU
+tunnel is wedged (a failure mode observed in this environment: readbacks
+hang forever), the parent falls back to a CPU measurement and labels the
+metric accordingly, so the driver always gets its JSON line.
+
 vs_baseline: the reference (Trino v359) publishes no absolute numbers
 (BASELINE.md); we normalize against 50M rows/s — a generous estimate of a
 32-core Trino v359 node on Q1/Q6-class scans derived from public TPC-H
@@ -15,56 +20,86 @@ node (not a single core).
 """
 
 import json
+import os
+import subprocess
 import sys
-import time
-
-import jax
-
-jax.config.update("jax_enable_x64", True)
-
-import numpy as np  # noqa: E402
-
-from presto_tpu.exec.pipeline import (  # noqa: E402
-    q1_stage, q6_stage, q1_example_args)
 
 BASELINE_ROWS_PER_S = 50e6
 SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
 RUNS = 20
+DEVICE_TIMEOUT_S = 900
 
 
-def _force(out):
-    """Host readback of (tiny) outputs: completion fences can be optimistic
-    through device tunnels, so timing must include a data dependency."""
-    return jax.tree_util.tree_map(np.asarray, out)
+def _measure(platform=None):
+    """Runs in the child process: do the measurement, print one JSON line."""
+    import time
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    from presto_tpu.exec.pipeline import q1_stage, q6_stage, q1_example_args
 
+    def force(out):
+        # completion fences can be optimistic through device tunnels: timing
+        # must include a host readback data dependency
+        return jax.tree_util.tree_map(np.asarray, out)
 
-def median_time(fn, *args):
-    _force(fn(*args))  # warmup (compile)
-    times = []
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        _force(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    def median_time(fn, *args):
+        force(fn(*args))  # warmup (compile)
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            force(fn(*args))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
 
-
-def main():
     args = q1_example_args(sf=SF)
     n = int(args[0].shape[0])
     f1 = jax.jit(q1_stage)
     f6 = jax.jit(q6_stage)
     q6args = (args[0], args[3], args[4], args[5], args[7])
-
     t1 = median_time(f1, *args)
     t6 = median_time(f6, *q6args)
     rows_per_s = 2 * n / (t1 + t6)
-
+    dev = str(jax.devices()[0])
+    plat_note = "" if "TPU" in dev.upper() else f" [{dev}]"
     print(json.dumps({
-        "metric": f"TPC-H Q1+Q6 SF{SF:g} fused-pipeline throughput per chip",
+        "metric": (f"TPC-H Q1+Q6 SF{SF:g} fused-pipeline throughput "
+                   f"per chip{plat_note}"),
         "value": round(rows_per_s / 1e6, 1),
         "unit": "Mrows/s",
         "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 2),
-    }))
+    }), flush=True)
+
+
+def main():
+    if os.environ.get("_PRESTO_BENCH_CHILD"):
+        _measure(os.environ.get("_PRESTO_BENCH_PLATFORM") or None)
+        return
+    env = dict(os.environ, _PRESTO_BENCH_CHILD="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env=env, timeout=DEVICE_TIMEOUT_S, capture_output=True, text=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if line:
+            print(line[-1])
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    # device path wedged or failed → measured CPU fallback (honest label)
+    env["_PRESTO_BENCH_PLATFORM"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+        env=env, timeout=DEVICE_TIMEOUT_S, capture_output=True, text=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if line:
+        print(line[-1])
+    else:
+        print(json.dumps({"metric": "bench failed", "value": 0,
+                          "unit": "Mrows/s", "vs_baseline": 0}))
+        sys.stderr.write(out.stderr[-2000:])
 
 
 if __name__ == "__main__":
