@@ -133,6 +133,7 @@ class WindowSpec:
     #                                  first_value|sum|count|min|max|avg
     arg: Optional[ir.Expr] = None
     offset: int = 1                  # lead/lag distance
+    frame: Optional[tuple] = None    # ("rows", (start, k), (end, k))
 
 
 @dataclass
@@ -508,7 +509,11 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
                 vals = c.values[perm].astype(jnp.int64)
                 vmask = smask & c.valid_or_true()[perm]
                 adt = c.dtype
-            if has_order:
+            if spec.frame is not None:
+                lo, hi = W.frame_bounds(part_start, spec.frame)
+                rsum = W.framed_sum(vals, vmask, lo, hi)
+                rcnt = W.framed_sum(vmask.astype(jnp.int64), smask, lo, hi)
+            elif has_order:
                 # default frame: RANGE UNBOUNDED PRECEDING → CURRENT ROW,
                 # peers included → running value gathered at peer-run end
                 rsum = W.running_sum(vals, part_start, vmask)[pe]
@@ -526,13 +531,28 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
             elif spec.func == "avg":
                 res = DEC.div_round_half_up(rsum, jnp.maximum(rcnt, 1))
                 valid, ot = rcnt > 0, adt
-            else:
-                res = W.partition_total(vals, part_start, vmask, spec.func) \
-                    if not has_order else None
-                if res is None:
-                    raise NotImplementedError(
-                        "running min/max window frame")
-                valid, ot = None, adt
+            else:  # min/max
+                mxm = spec.func == "max"
+                sentinel = A.I64_MIN if mxm else A.I64_MAX
+                guarded = jnp.where(vmask, vals, sentinel)
+                if spec.frame is not None:
+                    start = spec.frame[1][0]
+                    if start != "unbounded_preceding":
+                        raise NotImplementedError(
+                            "min/max frames must start UNBOUNDED PRECEDING")
+                    run = W.segmented_cummin(guarded, part_start, maximum=mxm)
+                    _, hi = W.frame_bounds(part_start, spec.frame)
+                    res = run[jnp.clip(hi, 0, n - 1)]
+                    valid = hi >= W.frame_bounds(part_start, spec.frame)[0]
+                elif has_order:
+                    run = W.segmented_cummin(guarded, part_start, maximum=mxm)
+                    res = run[pe]
+                    valid = None
+                else:
+                    res = W.partition_total(vals, part_start, vmask,
+                                            spec.func)
+                    valid = None
+                ot = adt
         else:
             raise NotImplementedError(f"window function {spec.func}")
         # scatter back to input row order

@@ -138,6 +138,62 @@ def running_sum(values: jnp.ndarray, part_start: jnp.ndarray,
     return cs - before
 
 
+def frame_bounds(part_start: jnp.ndarray, frame) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Clamped [lo, hi] sorted-position bounds of a ROWS frame per row."""
+    n = part_start.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    part_end = peer_ends(part_start)
+
+    def edge(spec, default):
+        which, k = spec
+        if which == "unbounded_preceding":
+            return part_start
+        if which == "unbounded_following":
+            return part_end
+        if which == "current":
+            return idx
+        if which == "preceding":
+            return idx - k
+        if which == "following":
+            return idx + k
+        raise ValueError(which)
+
+    lo = jnp.maximum(edge(frame[1], part_start), part_start)
+    hi = jnp.minimum(edge(frame[2], part_end), part_end)
+    return lo, hi
+
+
+def framed_sum(values: jnp.ndarray, mask: jnp.ndarray,
+               lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """sum over sorted positions [lo, hi] via prefix sums (exact: clamped
+    bounds never cross partition edges)."""
+    v = jnp.where(mask, values, 0).astype(jnp.int64)
+    cs = jnp.cumsum(v)
+    hi_c = jnp.clip(hi, 0, v.shape[0] - 1)
+    upper = jnp.where(hi >= lo, cs[hi_c], 0)
+    lower = jnp.where((hi >= lo) & (lo > 0), cs[jnp.maximum(lo - 1, 0)], 0)
+    return upper - lower
+
+
+def segmented_cummin(values: jnp.ndarray, part_start: jnp.ndarray,
+                     maximum: bool = False) -> jnp.ndarray:
+    """Running min/max from each partition start (segmented prefix scan)."""
+    n = values.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    flags = (part_start == idx)
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        merged = jnp.where(bf, bv,
+                           jnp.maximum(av, bv) if maximum
+                           else jnp.minimum(av, bv))
+        return af | bf, merged
+
+    _, out = jax.lax.associative_scan(combine, (flags, values))
+    return out
+
+
 def partition_total(values: jnp.ndarray, part_start: jnp.ndarray,
                     mask: jnp.ndarray, func: str = "sum"):
     """Full-partition aggregate broadcast to each row (via segment reduce

@@ -58,10 +58,18 @@ class FuncCall(Node):
 
 
 @dataclass
+class WindowFrame(Node):
+    kind: str                        # rows (range frames: default only)
+    start: Tuple[str, int]           # ("unbounded"|"preceding"|"current"|
+    end: Tuple[str, int]             #  "following", k)
+
+
+@dataclass
 class WindowExpr(Node):
     func: "FuncCall"
     partition_by: List[Node]
     order_by: List["OrderItem"]
+    frame: Optional["WindowFrame"] = None
 
 
 @dataclass

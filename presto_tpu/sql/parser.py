@@ -543,10 +543,33 @@ def _install_window_parsing():
                 order.append(ast.OrderItem(e, desc))
                 if not self.accept("op", ","):
                     break
+        frame = None
         if self.at_kw("rows", "range"):
-            raise NotImplementedError("explicit window frames")
+            kind = self.next().value
+            if kind == "range":
+                raise NotImplementedError("explicit RANGE frames")
+
+            def bound():
+                if self.accept("kw", "unbounded"):
+                    which = self.next().value  # preceding|following
+                    return (f"unbounded_{which}", 0)
+                if self.accept("kw", "current"):
+                    self.expect("kw", "row")
+                    return ("current", 0)
+                k = int(self.expect("number").value)
+                which = self.next().value      # preceding|following
+                return (which, k)
+
+            if self.accept("kw", "between"):
+                start = bound()
+                self.expect("kw", "and")
+                end = bound()
+            else:
+                start = bound()
+                end = ("current", 0)
+            frame = ast.WindowFrame(kind, start, end)
         self.expect("op", ")")
-        return ast.WindowExpr(call, partition, order)
+        return ast.WindowExpr(call, partition, order, frame)
 
     Parser._maybe_window = _maybe_window
 

@@ -791,7 +791,11 @@ class Planner:
                 else:
                     raise NotImplementedError(f"window function {fname}")
                 name = self.fresh("win")
-                specs.append(P.WindowSpec(name, fname, arg, offset))
+                frame = None
+                if w.frame is not None:
+                    frame = (w.frame.kind, tuple(w.frame.start),
+                             tuple(w.frame.end))
+                specs.append(P.WindowSpec(name, fname, arg, offset, frame))
                 self._window_map[id(w)] = ir.ColumnRef(name, dtype)
                 cur.scope.add(None, name, name, dtype)
                 cur.columns.add(name)
