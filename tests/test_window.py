@@ -89,3 +89,26 @@ def test_lead_lag_first(runner):
     assert norm(got.prev_o) == norm(d.prev_o)
     assert norm(got.next_o) == norm(d.next_o)
     assert norm(got.first_o) == norm(d.first_o)
+
+
+def test_rows_frames(runner):
+    sql = """
+    select o_orderkey, o_custkey, o_totalprice,
+      sum(o_totalprice) over (partition by o_custkey order by o_orderkey
+         rows between 1 preceding and current row) s2,
+      min(o_totalprice) over (partition by o_custkey order by o_orderkey) mn,
+      max(o_totalprice) over (partition by o_custkey order by o_orderkey
+         rows between unbounded preceding and current row) mx
+    from orders where o_custkey <= 15
+    """
+    got = runner.run_sql(sql).to_pandas().sort_values(
+        ["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    o = odf()
+    d = o[o.o_custkey <= 15].sort_values(["o_custkey", "o_orderkey"]) \
+        .reset_index(drop=True)
+    g = d.groupby("o_custkey").o_totalprice
+    assert got.s2.astype(np.int64).tolist() == \
+        g.rolling(2, min_periods=1).sum().reset_index(drop=True) \
+        .astype(np.int64).tolist()
+    assert got.mn.tolist() == g.cummin().tolist()
+    assert got.mx.tolist() == g.cummax().tolist()
