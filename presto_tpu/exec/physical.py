@@ -791,11 +791,46 @@ def _exec_join(plan: PhysHashJoin, ctx: ExecContext) -> Chunk:
     build_count = int(jnp.sum(build.mask))
     capacity = HT.capacity_for(max(build_count, 1))
     table = _build_kernel(build, plan.build_keys, capacity)
+    probe = _dynamic_filter(plan, probe, build, ctx)
 
     fast_unique = plan.unique_build and plan.filter is None
     if fast_unique and plan.kind in ("inner", "left", "semi", "anti"):
         return _join_unique(plan, probe, build, table, ctx)
     return _join_expand(plan, probe, build, table, ctx)
+
+
+@partial(jax.jit, static_argnames=("probe_key", "build_key"))
+def _dyn_filter_kernel(probe: Chunk, build: Chunk, probe_key, build_key):
+    """Build-side min/max domain → probe row mask narrowing."""
+    bk = eval_expr(build_key, build)
+    pk = eval_expr(probe_key, probe)
+    bmask = build.mask & bk.valid_or_true()
+    bv = bk.values.astype(jnp.int64)
+    bmin = A.g_min(bv, bmask)
+    bmax = A.g_max(bv, bmask)
+    pv = pk.values.astype(jnp.int64)
+    return probe.mask & (pv >= bmin) & (pv <= bmax)
+
+
+def _dynamic_filter(plan: PhysHashJoin, probe: Chunk, build: Chunk,
+                    ctx: ExecContext) -> Chunk:
+    """Dynamic filtering (reference: ``DynamicFilterSourceOperator`` +
+    ``server/DynamicFilterService.java``): narrow the probe side by the
+    build keys' min/max domain before probing — pays off when the filtered
+    build side covers a small key range (e.g. a dimension slice) and lets
+    the compaction pass shrink the probe chunk."""
+    if plan.kind not in ("inner", "semi") or not plan.probe_keys:
+        return probe  # outer/anti joins must keep unmatched probe rows
+    pk, bk = plan.probe_keys[0], plan.build_keys[0]
+    try:
+        pkc = eval_expr(pk, probe)
+        bkc = eval_expr(bk, build)
+    except Exception:  # noqa: BLE001 - key not evaluable here
+        return probe
+    if pkc.kind != PLAIN or bkc.kind != PLAIN:
+        return probe
+    mask = _dyn_filter_kernel(probe, build, pk, bk)
+    return _maybe_compact(Chunk(probe.cols, mask), ctx)
 
 
 @partial(jax.jit, static_argnames=("probe_keys", "payload", "kind"))
