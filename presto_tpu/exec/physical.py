@@ -752,6 +752,16 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
                 v = A.g_count(chunk.mask)
                 out[spec.name] = DCol(T.BIGINT, PLAIN, v[None])
                 continue
+            if spec.distinct:
+                assert spec.func == "count", "only count(distinct) supported"
+                keys = _key_arrays(chunk, (spec.arg,))
+                cap = HT.next_pow2(2 * chunk.n_rows)  # static: no overflow
+                c0 = eval_expr(spec.arg, chunk)
+                m0 = chunk.mask & c0.valid_or_true()
+                owner, _, _ = HT.insert(keys, m0, cap)
+                v = jnp.sum((owner != HT.EMPTY).astype(jnp.int64))
+                out[spec.name] = DCol(T.BIGINT, PLAIN, v[None])
+                continue
             c = eval_expr(spec.arg, chunk)
             m = chunk.mask & c.valid_or_true()
             ot = _agg_output_type(spec)
@@ -779,7 +789,6 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
                 raise NotImplementedError(spec.func)
         return Chunk(out, jnp.ones((1,), jnp.bool_))
 
-    assert not any(s.distinct for s in plan.aggs), "global distinct TODO"
     return kernel(child, plan.aggs)
 
 

@@ -82,3 +82,14 @@ def test_grouping_sets(runner):
         "where r_regionkey = n_regionkey "
         "group by grouping sets ((r_name), ())").to_pandas()
     assert len(gs) == 6
+
+
+def test_show_stats_and_global_distinct(runner):
+    got = runner.run_sql("show stats for nation").to_pandas()
+    row = got[got.column_name == "n_nationkey"].iloc[0]
+    assert (row.distinct_values_count, row.low_value, row.high_value,
+            row.row_count) == (25, 0, 24, 25)
+    d = runner.run_sql(
+        "select count(distinct o_custkey) c from orders").to_pydict()
+    o = O.load("orders", SF)
+    assert d["c"][0] == o.o_custkey.nunique()
