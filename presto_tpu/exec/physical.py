@@ -830,6 +830,8 @@ def _dynamic_filter(plan: PhysHashJoin, probe: Chunk, build: Chunk,
     the compaction pass shrink the probe chunk."""
     if plan.kind not in ("inner", "semi") or not plan.probe_keys:
         return probe  # outer/anti joins must keep unmatched probe rows
+    if probe.n_rows < ctx.min_rows_for_compaction:
+        return probe  # not worth the extra pass on small probes
     pk, bk = plan.probe_keys[0], plan.build_keys[0]
     try:
         pkc = eval_expr(pk, probe)
