@@ -635,6 +635,8 @@ class DistributedRunner:
         self.mesh = mesh
         self.sf = scale_factor
         self.nd = mesh.devices.size
+        self._plan_cache: dict = {}
+        self._fns: dict = {}  # (id(plan), mult) → jitted shard_map program
 
     def _shard_table(self, table: str, columns):
         """Host-side: generate + pad + device_put row-sharded arrays."""
@@ -676,31 +678,37 @@ class DistributedRunner:
 
         mult = 1
         while True:
-            def stage(vals, msks, mult=mult):
-                shards = {
-                    k: DCol(meta[k][0], meta[k][1], v, l, None, meta[k][2])
-                    for k, (v, l) in vals.items()}
-                ctx = TraceCtx(shards, msks, self.sf,
-                               cap_multiplier=mult, overflow=[])
-                out, rep = execute_traced(plan, ctx)
-                out = out if rep else allgather_chunk(out)
-                ovf = (jnp.stack(ctx.overflow).any() if ctx.overflow
-                       else jnp.bool_(False))
-                return out, ovf[None]
+            fn = self._fns.get((id(plan), mult))
+            if fn is None:
+                def stage(vals, msks, mult=mult):
+                    shards = {
+                        k: DCol(meta[k][0], meta[k][1], v, l, None,
+                                meta[k][2])
+                        for k, (v, l) in vals.items()}
+                    ctx = TraceCtx(shards, msks, self.sf,
+                                   cap_multiplier=mult, overflow=[])
+                    out, rep = execute_traced(plan, ctx)
+                    out = out if rep else allgather_chunk(out)
+                    ovf = (jnp.stack(ctx.overflow).any() if ctx.overflow
+                           else jnp.bool_(False))
+                    return out, ovf[None]
 
-            fn = shard_map(stage, mesh=self.mesh,
-                           in_specs=(P("d"), P("d")),
-                           out_specs=(P(), P("d")),
-                           check_rep=False)
-            out_chunk, ovf = jax.jit(fn)(shard_vals, masks)
+                fn = jax.jit(shard_map(stage, mesh=self.mesh,
+                                       in_specs=(P("d"), P("d")),
+                                       out_specs=(P(), P("d")),
+                                       check_rep=False))
+                self._fns[(id(plan), mult)] = fn
+            out_chunk, ovf = fn(shard_vals, masks)
             if not bool(np.asarray(ovf).any()):
                 return materialize(out_chunk)
             mult *= 8
 
     def run_sql(self, sql: str):
-        from ..exec.runner import LocalRunner  # reuse planner path
         from ..sql.parser import parse
         from ..sql.planner.planner import Planner
         from ..sql.planner.pruning import prune
-        plan = Planner(self.sf).plan(parse(sql))
-        return self.run_physical(prune(plan, None))
+        plan = self._plan_cache.get(sql)
+        if plan is None:
+            plan = prune(Planner(self.sf).plan(parse(sql)), None)
+            self._plan_cache[sql] = plan
+        return self.run_physical(plan)
