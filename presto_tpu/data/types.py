@@ -108,6 +108,18 @@ class DateType(DataType):
 
 
 @dataclass(frozen=True)
+class TimestampType(DataType):
+    """Microseconds since epoch as int64 (reference: 5 timestamp variants in
+    ``spi/type/``; this is the TIMESTAMP(6) layout)."""
+
+    name: str = field(init=False, default="timestamp")
+
+    @property
+    def np_dtype(self):
+        return np.int64
+
+
+@dataclass(frozen=True)
 class VarcharType(DataType):
     """Variable-width string; physical layout chosen per column (dictionary
     codes or fixed-width bytes). ``length`` is the DDL bound (None=unbounded)."""
@@ -138,6 +150,7 @@ class CharType(DataType):
 
 
 BIGINT = BigintType()
+TIMESTAMP = TimestampType()
 INTEGER = IntegerType()
 BOOLEAN = BooleanType()
 DOUBLE = DoubleType()

@@ -195,7 +195,8 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
 
     if isinstance(expr, ir.ExtractYear):
         col = eval_expr(expr.arg, chunk)
-        return DCol(T.BIGINT, PLAIN, year_from_days(col.values),
+        days = _to_days(col)
+        return DCol(T.BIGINT, PLAIN, year_from_days(days),
                     validity=col.validity)
 
     if isinstance(expr, ir.Substring):
@@ -304,7 +305,7 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
                     _and_validity(a.validity, b.validity))
     if name in ("month", "day"):
         a = args[0]
-        z = a.values.astype(jnp.int64) + 719468
+        z = _to_days(a) + 719468
         era = jnp.floor_divide(z, 146097)
         doe = z - era * 146097
         yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
@@ -372,11 +373,26 @@ def _host_like(s: str, pattern: str) -> bool:
     return re.match(rx, s, re.S) is not None
 
 
+def _to_days(col: DCol) -> jnp.ndarray:
+    """date → days; timestamp(micros) → days (floor toward -inf)."""
+    v = col.values.astype(jnp.int64)
+    if isinstance(col.dtype, T.TimestampType):
+        return jnp.floor_divide(v, 86_400_000_000)
+    return v
+
+
 def _cast(col: DCol, to: T.DataType) -> DCol:
     if col.dtype == to:
         return col
     fs, ts = _scale_of(col.dtype), _scale_of(to)
     if col.kind == PLAIN:
+        if isinstance(to, T.TimestampType) and isinstance(col.dtype, T.DateType):
+            return DCol(to, PLAIN,
+                        col.values.astype(jnp.int64) * 86_400_000_000,
+                        validity=col.validity)
+        if isinstance(to, T.DateType) and isinstance(col.dtype, T.TimestampType):
+            return DCol(to, PLAIN, _to_days(col).astype(jnp.int32),
+                        validity=col.validity)
         if isinstance(to, T.DoubleType):
             vals = col.values.astype(jnp.float64) / (10 ** fs)
         else:

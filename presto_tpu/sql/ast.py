@@ -40,6 +40,11 @@ class DateLit(Node):
 
 
 @dataclass
+class TimestampLit(Node):
+    value: str                       # 'yyyy-mm-dd[ hh:mm:ss[.ffffff]]' 
+
+
+@dataclass
 class IntervalLit(Node):
     value: int
     unit: str                        # day | month | year

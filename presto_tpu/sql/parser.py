@@ -30,7 +30,7 @@ KEYWORDS = {
     "inner", "left", "right", "outer", "cross", "on", "with", "for", "union",
     "all", "year", "month", "day", "true", "false", "over", "partition",
     "rows", "range", "unbounded", "preceding", "following", "current", "row",
-    "except", "intersect",
+    "except", "intersect", "timestamp",
 }
 
 
@@ -411,6 +411,13 @@ class Parser:
             self.next()
             return ast.StringLit(t.value)
         if t.kind == "kw":
+            if self.accept("kw", "timestamp"):
+                if self.accept("op", "("):
+                    v = self.expect("string").value
+                    self.expect("op", ")")
+                else:
+                    v = self.expect("string").value
+                return ast.TimestampLit(v)
             if self.accept("kw", "date"):
                 if self.accept("op", "("):    # date('yyyy-mm-dd') form
                     v = self.expect("string").value

@@ -42,6 +42,15 @@ def _days(iso: str) -> int:
     return (dt.date.fromisoformat(iso) - EPOCH).days
 
 
+def _timestamp_micros(text: str) -> int:
+    t = text.strip()
+    if " " in t:
+        d = dt.datetime.fromisoformat(t)
+    else:
+        d = dt.datetime.combine(dt.date.fromisoformat(t), dt.time())
+    return int((d - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
 def _add_interval(d: dt.date, n: int, unit: str) -> dt.date:
     if unit == "day":
         return d + dt.timedelta(days=n)
@@ -336,6 +345,9 @@ class Planner:
             return ir.lit_string(node.value)
         if isinstance(node, ast.DateLit):
             return ir.lit_date(_days(node.value))
+        if isinstance(node, ast.TimestampLit):
+            micros = _timestamp_micros(node.value)
+            return ir.Literal(micros, T.TIMESTAMP)
         if isinstance(node, ast.IntervalLit):
             raise ValueError("interval literal outside date arithmetic")
         if isinstance(node, ast.BinaryOp):
@@ -1506,6 +1518,8 @@ def _parse_type(name: str) -> T.DataType:
         return T.DOUBLE
     if name == "date":
         return T.DATE
+    if name.startswith("timestamp"):
+        return T.TIMESTAMP
     if name.startswith("decimal"):
         if "(" in name:
             inner = name[name.index("(") + 1:-1]
