@@ -78,7 +78,8 @@ class Cursor:
                 info.state.value, info.elapsed_s, info.rows, info.error))
         data = table.to_pydict()
         names = list(data.keys())
-        self.description = [(n, None, None, None, None, None, None)
+        self.description = [(n, str(table.columns[n].dtype),
+                             None, None, None, None, None)
                             for n in names]
         self._rows = list(zip(*[data[n] for n in names])) if names else []
         self._pos = 0

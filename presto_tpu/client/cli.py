@@ -10,8 +10,31 @@ import sys
 import time
 
 
-def format_table(names, rows, max_rows=100):
-    cols = [[str(n)] + [("NULL" if v is None else str(v))
+def _fmt(v, dtype: str):
+    """Render logical values: dates ISO, decimals with their scale,
+    timestamps ISO (the client protocol keeps raw unscaled ints)."""
+    if v is None:
+        return "NULL"
+    if dtype == "date":
+        import datetime as dt
+        return (dt.date(1970, 1, 1) + dt.timedelta(days=int(v))).isoformat()
+    if dtype == "timestamp":
+        import datetime as dt
+        return (dt.datetime(1970, 1, 1)
+                + dt.timedelta(microseconds=int(v))).isoformat(" ")
+    if dtype.startswith("decimal("):
+        scale = int(dtype.rstrip(")").split(",")[1])
+        if scale == 0:
+            return str(v)
+        sign = "-" if v < 0 else ""
+        a = abs(int(v))
+        return f"{sign}{a // 10**scale}.{a % 10**scale:0{scale}d}"
+    return str(v)
+
+
+def format_table(names, rows, max_rows=100, types=None):
+    types = types or ["" for _ in names]
+    cols = [[str(n)] + [_fmt(v, types[i])
                         for v in (r[i] for r in rows[:max_rows])]
             for i, n in enumerate(names)]
     widths = [max(len(x) for x in c) for c in cols]
@@ -46,7 +69,8 @@ def main(argv=None):
             return
         rows = cur.fetchall()
         names = [d[0] for d in cur.description or []]
-        print(format_table(names, rows))
+        types = [d[1] or "" for d in cur.description or []]
+        print(format_table(names, rows, types=types))
         print(f"({len(rows)} rows in {time.time() - t0:.2f}s)")
 
     if args.execute:
