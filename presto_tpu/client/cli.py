@@ -55,10 +55,24 @@ def main(argv=None):
     ap.add_argument("--sf", type=float, default=None)
     ap.add_argument("-e", "--execute", default=None,
                     help="execute one statement and exit")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve the REST statement protocol instead of a "
+                         "REPL (the coordinator HTTP surface)")
     args = ap.parse_args(argv)
 
     from .api import connect
     conn = connect(schema=args.schema, scale_factor=args.sf)
+
+    if args.serve is not None:
+        from .server import StatementServer
+        srv = StatementServer(conn, port=args.serve)
+        print(f"serving statement protocol at {srv.url}/v1/statement")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.close()
+        return
 
     def run(sql: str):
         t0 = time.time()

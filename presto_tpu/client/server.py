@@ -1,0 +1,204 @@
+"""REST statement protocol: server + minimal HTTP client.
+
+The analogue of the reference's client protocol surface
+(``dispatcher/QueuedStatementResource.java:176`` ``POST /v1/statement`` →
+QueryResults JSON ``{id, columns, data, nextUri, stats, error}``; the client
+polls ``nextUri`` until absent — ``client/trino-client/.../
+StatementClientV1.java:323`` ``advance()``).  Single-process: the "cluster"
+behind the HTTP surface is a Connection (LocalRunner / DistributedRunner via
+the mesh-backed engine); results are paged out of memory token-by-token like
+``server/protocol/ExecutingStatementResource.java``.
+
+Intentionally loopback-oriented (no TLS/auth — reference's security tier is
+out of scope this round).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+from .cli import _fmt
+
+PAGE_ROWS = 1000
+
+_ids = itertools.count(1)
+
+
+def _json_value(v, dtype: str):
+    """Wire rendering per type (the reference sends logical JSON values:
+    dates/timestamps/decimals as strings, numbers as numbers)."""
+    if v is None:
+        return None
+    if dtype in ("date", "timestamp") or dtype.startswith("decimal("):
+        return _fmt(v, dtype)
+    if dtype == "boolean":
+        return bool(v)
+    if dtype == "double":
+        return float(v)
+    if dtype.startswith(("varchar", "char")):
+        return str(v)
+    return int(v)
+
+
+class _QueryResult:
+    def __init__(self, query_id: str, sql: str):
+        self.id = query_id
+        self.sql = sql
+        self.state = "QUEUED"
+        self.columns: List[Dict[str, str]] = []
+        self.rows: List[List[Any]] = []
+        self.error: Optional[str] = None
+        self.created = time.time()
+        self.elapsed_s = 0.0
+
+
+class StatementServer:
+    """Serves the statement protocol for one engine Connection."""
+
+    def __init__(self, connection, host: str = "127.0.0.1", port: int = 0):
+        self.connection = connection
+        self._queries: Dict[str, _QueryResult] = {}
+        self._lock = threading.Lock()        # engine is single-controller
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/v1/statement":
+                    return self._send({"error": "not found"}, 404)
+                n = int(self.headers.get("Content-Length", 0))
+                sql = self.rfile.read(n).decode()
+                user = self.headers.get("X-Trino-User", "presto")
+                q = server._execute(sql, user)
+                # first hop mirrors the queued→executing redirect: no data
+                self._send(server._results(q, token=0, data=False))
+
+            def do_GET(self):
+                parts = self.path.strip("/").split("/")
+                if parts[:2] == ["v1", "info"]:
+                    return self._send({"nodeVersion": {"version": "presto-tpu"},
+                                       "coordinator": True,
+                                       "starting": False})
+                if parts[:2] == ["v1", "query"] and len(parts) == 2:
+                    return self._send([{
+                        "queryId": q.id, "state": q.state,
+                        "query": q.sql, "elapsedSeconds": q.elapsed_s,
+                    } for q in server._queries.values()])
+                if (len(parts) == 5 and parts[:3] ==
+                        ["v1", "statement", "executing"]):
+                    qid, token = parts[3], int(parts[4])
+                    q = server._queries.get(qid)
+                    if q is None:
+                        return self._send({"error": "unknown query"}, 404)
+                    return self._send(server._results(q, token, data=True))
+                self._send({"error": "not found"}, 404)
+
+            def do_DELETE(self):
+                # cancellation: queries run synchronously, so this only
+                # acknowledges (reference allows best-effort cancel)
+                self.send_response(204)
+                self.end_headers()
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    # -- protocol bodies --------------------------------------------------
+
+    def _execute(self, sql: str, user: str) -> _QueryResult:
+        q = _QueryResult(f"q_{next(_ids)}", sql)
+        self._queries[q.id] = q
+        t0 = time.time()
+        with self._lock:
+            try:
+                cur = self.connection.execute(sql)
+                types = [d[1] for d in cur.description or []]
+                q.columns = [{"name": d[0], "type": d[1]}
+                             for d in cur.description or []]
+                q.rows = [[_json_value(v, t) for v, t in zip(row, types)]
+                          for row in cur.fetchall()]
+                q.state = "FINISHED"
+            except Exception as e:  # noqa: BLE001 - surfaced via protocol
+                q.state = "FAILED"
+                q.error = f"{type(e).__name__}: {e}"
+        q.elapsed_s = time.time() - t0
+        return q
+
+    def _results(self, q: _QueryResult, token: int, data: bool) -> dict:
+        out: dict = {
+            "id": q.id,
+            "infoUri": f"{self.url}/v1/query/{q.id}",
+            "stats": {"state": q.state,
+                      "elapsedTimeMillis": int(q.elapsed_s * 1000),
+                      "processedRows": len(q.rows)},
+        }
+        if q.error is not None:
+            out["error"] = {"message": q.error,
+                            "errorCode": 1, "errorName": "GENERIC"}
+            return out
+        if q.columns:
+            out["columns"] = q.columns
+        if data:
+            page = q.rows[token * PAGE_ROWS:(token + 1) * PAGE_ROWS]
+            if page:
+                out["data"] = page
+            if (token + 1) * PAGE_ROWS < len(q.rows):
+                out["nextUri"] = (f"{self.url}/v1/statement/executing/"
+                                  f"{q.id}/{token + 1}")
+        else:
+            out["nextUri"] = (f"{self.url}/v1/statement/executing/"
+                              f"{q.id}/{token}")
+        return out
+
+
+class HttpClient:
+    """Minimal StatementClientV1 analogue: POST then follow nextUri."""
+
+    def __init__(self, base_url: str, user: str = "presto"):
+        self.base_url = base_url.rstrip("/")
+        self.user = user
+
+    def execute(self, sql: str) -> Tuple[List[dict], List[list]]:
+        import urllib.request
+        req = urllib.request.Request(
+            f"{self.base_url}/v1/statement", data=sql.encode(),
+            headers={"X-Trino-User": self.user}, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            body = json.loads(resp.read())
+        columns: List[dict] = []
+        rows: List[list] = []
+        while True:
+            if "error" in body:
+                raise RuntimeError(body["error"]["message"])
+            columns = body.get("columns", columns)
+            rows.extend(body.get("data", []))
+            nxt = body.get("nextUri")
+            if nxt is None:
+                return columns, rows
+            with urllib.request.urlopen(nxt) as resp:
+                body = json.loads(resp.read())

@@ -76,9 +76,11 @@ class PhysProject(PhysOp):
 @dataclass(frozen=True)
 class AggSpec:
     name: str
-    func: str                       # sum|count|count_star|min|max|avg
+    func: str                       # sum|count|count_star|min|max|avg|min_by|…
     arg: Optional[ir.Expr] = None
     distinct: bool = False
+    arg2: Optional[ir.Expr] = None  # ordering key for min_by/max_by
+    param: Optional[float] = None   # percentile for approx_percentile
 
 
 @dataclass
@@ -620,6 +622,8 @@ def _agg_output_type(spec: AggSpec) -> T.DataType:
     if spec.func in ("bool_and", "bool_or"):
         return T.BOOLEAN
     at = spec.arg.dtype
+    if spec.func in ("min_by", "max_by", "approx_percentile"):
+        return at  # value argument's type
     if spec.func == "sum":
         return T.decimal(38, _scale_of(at)) if T.is_decimal(at) else T.BIGINT
     if spec.func == "avg":
@@ -711,6 +715,33 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
             v = A.seg_any(b, slot, vmask, capacity)
         nonempty = A.seg_count(slot, vmask, capacity) > 0
         return DCol(T.BOOLEAN, PLAIN, v, validity=gvalid & nonempty)
+    if spec.func in ("min_by", "max_by"):
+        # winner row per group = first row attaining the key extreme
+        # (reference: operator/aggregation/minmaxby/*).  Rows with a NULL
+        # key are ignored; the value may be NULL and is returned as such.
+        k = eval_expr(spec.arg2, chunk)
+        kmask = mask & k.valid_or_true()
+        seg_ext = A.seg_min if spec.func == "min_by" else A.seg_max
+        ext = seg_ext(k.values, slot, kmask, capacity)
+        is_win = kmask & (k.values == ext[jnp.maximum(slot, 0)])
+        ridx = jnp.arange(chunk.n_rows, dtype=jnp.int64)
+        widx = A.seg_min(ridx, slot, is_win, capacity)
+        nonempty = A.seg_count(slot, kmask, capacity) > 0
+        return c.take(jnp.minimum(widx, chunk.n_rows - 1),
+                      valid=gvalid & nonempty)
+    if spec.func == "approx_percentile":
+        # exact percentile via per-group sorted runs (the reference's
+        # qdigest/tdigest sketch — exactness is a legal approximation)
+        slotk = jnp.where(vmask, slot, capacity).astype(jnp.int64)
+        perm = SORT.argsort_multi([(slotk, False),
+                                   (SORT.value_sort_key(c), False)])
+        cnt = A.seg_count(slot, vmask, capacity)
+        offs = jnp.cumsum(cnt) - cnt
+        idx_in = jnp.clip(
+            jnp.ceil(spec.param * cnt.astype(jnp.float64)).astype(jnp.int64)
+            - 1, 0, jnp.maximum(cnt - 1, 0))
+        widx = perm[jnp.minimum(offs + idx_in, chunk.n_rows - 1)]
+        return c.take(widx, valid=gvalid & (cnt > 0))
     if spec.func in ("min", "arbitrary", "any_value"):
         v = A.seg_min(vals, slot, vmask, capacity)
     elif spec.func == "max":
@@ -784,6 +815,50 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
                                       validity=nonempty[None])
             elif spec.func == "max":
                 out[spec.name] = DCol(ot, PLAIN, A.g_max(c.values, m)[None],
+                                      validity=nonempty[None])
+            elif spec.func in ("min_by", "max_by"):
+                k = eval_expr(spec.arg2, chunk)
+                kmask = chunk.mask & k.valid_or_true()
+                g_ext = A.g_min if spec.func == "min_by" else A.g_max
+                ext = g_ext(k.values, kmask)
+                is_win = kmask & (k.values == ext)
+                ridx = jnp.arange(chunk.n_rows, dtype=jnp.int64)
+                widx = jnp.min(jnp.where(is_win, ridx,
+                                         jnp.int64(chunk.n_rows)))
+                ne = A.g_count(kmask) > 0
+                out[spec.name] = c.take(
+                    jnp.minimum(widx, chunk.n_rows - 1)[None],
+                    valid=ne[None])
+            elif spec.func == "approx_percentile":
+                perm = SORT.argsort_multi(
+                    [(SORT.value_sort_key(c), False)], m)
+                cnt = A.g_count(m)
+                idx = jnp.clip(
+                    jnp.ceil(spec.param * cnt.astype(jnp.float64))
+                    .astype(jnp.int64) - 1, 0, jnp.maximum(cnt - 1, 0))
+                out[spec.name] = c.take(perm[jnp.minimum(
+                    idx, chunk.n_rows - 1)][None], valid=(cnt > 0)[None])
+            elif spec.func in VARIANCE_FUNCS:
+                fv = c.values.astype(jnp.float64) / (10 ** _scale_of(c.dtype))
+                s1 = A.g_sum(fv, m, jnp.float64)
+                s2 = A.g_sum(fv * fv, m, jnp.float64)
+                cntf = A.g_count(m).astype(jnp.float64)
+                pop = spec.func.endswith("_pop")
+                den = jnp.maximum(cntf if pop else cntf - 1, 1.0)
+                var = jnp.maximum(
+                    (s2 - s1 * s1 / jnp.maximum(cntf, 1.0)) / den, 0.0)
+                v = var if "var" in spec.func else jnp.sqrt(var)
+                minc = 1 if pop else 2
+                out[spec.name] = DCol(
+                    T.DOUBLE, PLAIN, v[None],
+                    validity=(A.g_count(m) >= minc)[None])
+            elif spec.func in ("bool_and", "bool_or"):
+                b = c.values.astype(jnp.bool_)
+                if spec.func == "bool_and":
+                    v = ~jnp.any(m & ~b)
+                else:
+                    v = jnp.any(m & b)
+                out[spec.name] = DCol(T.BOOLEAN, PLAIN, v[None],
                                       validity=nonempty[None])
             else:
                 raise NotImplementedError(spec.func)

@@ -41,6 +41,22 @@ def bytes_sort_keys(values: jnp.ndarray, lengths: jnp.ndarray) -> List[jnp.ndarr
     return packs
 
 
+def float_sort_keys(v: jnp.ndarray) -> jnp.ndarray:
+    """Order-preserving float64 → int64 key (sign-magnitude unfold)."""
+    import jax
+    b = jax.lax.bitcast_convert_type(v.astype(jnp.float64), jnp.int64)
+    mag = b & jnp.int64(2**62 - 1 + 2**62)  # 0x7fff... without overflow
+    return jnp.where(b < 0, jnp.int64(-(2**63)) + (I64_MAX - mag), b)
+
+
+def value_sort_key(col) -> jnp.ndarray:
+    """Normalize a numeric DCol's values to an ascending-sortable int64."""
+    v = col.values
+    if jnp.issubdtype(v.dtype, jnp.floating):
+        return float_sort_keys(v)
+    return v.astype(jnp.int64)
+
+
 def argsort_multi(keys: Sequence[Tuple[jnp.ndarray, bool]],
                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Stable argsort by multiple (int-normalized) keys.

@@ -394,17 +394,28 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
         # child already replicated (or no mesh): one-level aggregation
         return _replicated_local_agg(plan, child, ctx), True
     if not plan.groups:
+        if any(s.func in _WHOLE_GROUP_FUNCS for s in plan.aggs):
+            # needs all rows together (order statistics): gather then reduce
+            return PH._exec_global_agg(plan, allgather_chunk(child)), True
         # global aggregation: local partials then psum-style merge
         return _traced_global_agg(plan, child), True
     return _traced_partial_final_agg(plan, child, ctx)
 
 
+# aggregates whose state is not a mergeable (sum/min/max) scalar: every row
+# of a group must land on one device (FIXED_HASH route, like distinct)
+_WHOLE_GROUP_FUNCS = frozenset(
+    {"min_by", "max_by", "approx_percentile", "bool_and", "bool_or"}
+    | PH.VARIANCE_FUNCS)
+
+
 def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
                               ctx: TraceCtx):
-    if any(s.distinct for s in plan.aggs):
+    if any(s.distinct or s.func in _WHOLE_GROUP_FUNCS for s in plan.aggs):
         # FIXED_HASH aggregation: repartition rows by group-key hash so each
         # group lands wholly on one device, aggregate locally (including
-        # distinct dedup), then replicate the disjoint partial outputs
+        # distinct dedup / order statistics), then replicate the disjoint
+        # partial outputs
         gkeys = PH._key_arrays(child, tuple(e for _, e in plan.groups))
         routed, r_ovf = repartition(
             child, gkeys, slack=4 * (ctx.cap_multiplier or 1))
@@ -614,6 +625,18 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
 
 # ---------------------------------------------------------------- runner
 
+def _get_shard_map():
+    """jax.shard_map with replication checking off, across jax versions
+    (check_rep was renamed check_vma in 0.8, experimental before that)."""
+    import inspect
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+    params = inspect.signature(sm).parameters
+    flag = "check_vma" if "check_vma" in params else "check_rep"
+    return sm, {flag: False}
+
+
 def _collect_scans(plan: PH.PhysOp, out: Dict[str, set]):
     if isinstance(plan, PH.PhysScan):
         out.setdefault(plan.table, set()).update(plan.columns)
@@ -673,7 +696,7 @@ class DistributedRunner:
                 meta[(table, name)] = (dc.dtype, dc.kind, dc.dictionary)
             masks[table] = mask
 
-        from jax.experimental.shard_map import shard_map
+        shard_map, _SHARD_MAP_NO_CHECK = _get_shard_map()
         from ..exec.runner import materialize
 
         mult = 1
@@ -696,7 +719,7 @@ class DistributedRunner:
                 fn = jax.jit(shard_map(stage, mesh=self.mesh,
                                        in_specs=(P("d"), P("d")),
                                        out_specs=(P(), P("d")),
-                                       check_rep=False))
+                                       **_SHARD_MAP_NO_CHECK))
                 self._fns[(id(plan), mult)] = fn
             out_chunk, ovf = fn(shard_vals, masks)
             if not bool(np.asarray(ovf).any()):

@@ -34,7 +34,8 @@ from .. import ir
 
 AGG_FUNCS = {"sum", "avg", "count", "min", "max", "stddev", "stddev_samp",
              "stddev_pop", "variance", "var_samp", "var_pop", "bool_and",
-             "bool_or", "approx_distinct", "arbitrary", "any_value"}
+             "bool_or", "approx_distinct", "arbitrary", "any_value",
+             "min_by", "max_by", "approx_percentile"}
 EPOCH = dt.date(1970, 1, 1)
 
 
@@ -960,23 +961,41 @@ class Planner:
                 self._collect_aggs_only(c, post_scope)
 
     def _agg_ref(self, node: ast.FuncCall) -> ir.ColumnRef:
+        arg2, param = None, None
         if node.name == "count" and (not node.args or
                                      isinstance(node.args[0], ast.Star)):
-            key = ("count_star", None, False)
+            key = ("count_star", None, False, None, None)
             arg = None
         elif node.name == "approx_distinct":
             # exact implementation this round (HLL sketch: roadmap); the
             # reference allows exactness as a legal approximation
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
-            key = ("count", arg, True)
+            key = ("count", arg, True, None, None)
             node = ast.FuncCall("count", node.args, True)
+        elif node.name in ("min_by", "max_by"):
+            arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
+            arg2 = self.resolve(node.args[1], self._cur_scope,
+                                self._cur_outer)
+            key = (node.name, arg, False, arg2, None)
+        elif node.name == "approx_percentile":
+            arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
+            p = self.resolve(node.args[1], self._cur_scope, self._cur_outer)
+            if not isinstance(p, ir.Literal):
+                raise NotImplementedError(
+                    "approx_percentile requires a literal percentile")
+            pv = p.value
+            if T.is_decimal(p.dtype):
+                pv = pv / 10 ** p.dtype.scale
+            param = float(pv)
+            key = (node.name, arg, False, None, param)
         else:
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
-            key = (node.name, arg, node.distinct)
+            key = (node.name, arg, node.distinct, None, None)
         if key not in self._agg_map:
             name = self.fresh("agg")
             func = node.name if arg is not None else "count_star"
-            spec = P.AggSpec(name, func, arg, node.distinct)
+            spec = P.AggSpec(name, func, arg, node.distinct,
+                             arg2=arg2, param=param)
             self._agg_specs.append(spec)
             self._agg_map[key] = name
             self._post_scope.add(None, name, name,

@@ -51,7 +51,8 @@ def prune(plan: P.PhysOp, required: Optional[Set[str]] = None) -> P.PhysOp:
             plan.aggs = tuple(s for s in plan.aggs if s.name in required) \
                 or plan.aggs
         child_req = _refs(*(e for _, e in plan.groups),
-                          *(s.arg for s in plan.aggs))
+                          *(s.arg for s in plan.aggs),
+                          *(s.arg2 for s in plan.aggs))
         # an empty set is meaningful (count(*) needs no columns): the scan
         # keeps one narrow column to carry the row count
         prune(plan.child, child_req)

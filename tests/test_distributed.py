@@ -88,3 +88,27 @@ def test_repartition_roundtrip(mesh):
             if k < 0:
                 continue
             assert seen.setdefault(int(k), d) == d
+
+
+ORDER_STAT_SQL = """
+ select o_orderpriority p, min_by(o_orderkey, o_totalprice) mnk,
+        max_by(o_orderkey, o_totalprice) mxk,
+        approx_percentile(o_totalprice, 0.5) med,
+        stddev(o_totalprice) sd, bool_or(o_shippriority = 1) bo
+ from orders group by o_orderpriority order by o_orderpriority
+"""
+
+GLOBAL_STAT_SQL = """
+ select min_by(o_orderkey, o_totalprice) mnk,
+        approx_percentile(o_totalprice, 0.25) q1, variance(o_totalprice) v
+ from orders
+"""
+
+
+def test_distributed_order_statistics(mesh, local, dist):
+    """min_by/max_by/approx_percentile/variance distribute via the
+    FIXED_HASH whole-group route (grouped) and gather (global)."""
+    for sql in (ORDER_STAT_SQL, GLOBAL_STAT_SQL):
+        exp = local.run_sql(sql).to_pandas()
+        got = dist.run_sql(sql).to_pandas()
+        assert _norm(got) == _norm(exp)

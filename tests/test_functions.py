@@ -93,3 +93,51 @@ def test_show_stats_and_global_distinct(runner):
         "select count(distinct o_custkey) c from orders").to_pydict()
     o = O.load("orders", SF)
     assert d["c"][0] == o.o_custkey.nunique()
+
+
+def test_min_by_max_by(runner):
+    got = runner.run_sql("""
+     select o_orderpriority p, min_by(o_orderkey, o_totalprice) mnk,
+            max_by(o_orderkey, o_totalprice) mxk,
+            min(o_totalprice) mn, max(o_totalprice) mx
+     from orders group by o_orderpriority order by o_orderpriority
+    """).to_pandas()
+    o = O.load("orders", SF)
+    for _, r in got.iterrows():
+        grp = o[o.o_orderpriority == r.p]
+        assert grp.loc[grp.o_orderkey == r.mnk, "o_totalprice"].iloc[0] == \
+            grp.o_totalprice.min() == r.mn
+        assert grp.loc[grp.o_orderkey == r.mxk, "o_totalprice"].iloc[0] == \
+            grp.o_totalprice.max() == r.mx
+
+
+def test_min_by_global(runner):
+    got = runner.run_sql(
+        "select min_by(o_orderkey, o_totalprice) k, max_by(o_orderkey, "
+        "o_totalprice) mk from orders").to_pandas()
+    o = O.load("orders", SF)
+    assert got.k[0] == o.loc[o.o_totalprice.idxmin(), "o_orderkey"]
+    assert got.mk[0] == o.loc[o.o_totalprice.idxmax(), "o_orderkey"]
+
+
+def test_approx_percentile(runner):
+    got = runner.run_sql("""
+     select o_orderpriority p, approx_percentile(o_totalprice, 0.5) med,
+            approx_percentile(o_totalprice, 0.99) p99
+     from orders group by o_orderpriority order by o_orderpriority
+    """).to_pandas()
+    o = O.load("orders", SF)
+    for _, r in got.iterrows():
+        vals = np.sort(o[o.o_orderpriority == r.p].o_totalprice.values)
+        n = len(vals)
+        assert r.med == vals[max(int(np.ceil(0.5 * n)) - 1, 0)]
+        assert r.p99 == vals[max(int(np.ceil(0.99 * n)) - 1, 0)]
+
+
+def test_approx_percentile_global(runner):
+    got = runner.run_sql(
+        "select approx_percentile(o_totalprice, 0.25) q1 "
+        "from orders").to_pandas()
+    o = O.load("orders", SF)
+    vals = np.sort(o.o_totalprice.values)
+    assert got.q1[0] == vals[int(np.ceil(0.25 * len(vals))) - 1]

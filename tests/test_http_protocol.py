@@ -1,0 +1,75 @@
+"""REST statement protocol tests (reference: client protocol
+``POST /v1/statement`` + nextUri paging, ``StatementClientV1.advance()``)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from presto_tpu.client.api import connect
+from presto_tpu.client.server import HttpClient, StatementServer, PAGE_ROWS
+
+SF = 0.01
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = StatementServer(connect(scale_factor=SF))
+    yield srv
+    srv.close()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    return HttpClient(server.url)
+
+
+def test_simple_query(client):
+    cols, rows = client.execute(
+        "select n_name, n_nationkey from nation order by n_nationkey limit 3")
+    assert [c["name"] for c in cols] == ["n_name", "n_nationkey"]
+    assert rows[0][0] == "ALGERIA" and [r[1] for r in rows] == [0, 1, 2]
+
+
+def test_paging(client):
+    n = PAGE_ROWS * 2 + 500
+    cols, rows = client.execute(
+        f"select o_orderkey from orders limit {n}")
+    assert len(rows) == n  # crossed 3 page fetches
+
+
+def test_logical_value_rendering(client):
+    cols, rows = client.execute(
+        "select o_orderdate, o_totalprice from orders "
+        "order by o_orderkey limit 1")
+    assert cols[0]["type"] == "date"
+    assert rows[0][0].count("-") == 2          # ISO date string
+    assert "." in rows[0][1]                   # pointed decimal string
+
+
+def test_error_propagation(client):
+    with pytest.raises(RuntimeError):
+        client.execute("select * from no_such_table")
+
+
+def test_query_list_and_info(server, client):
+    client.execute("select 1 x from region limit 1")
+    with urllib.request.urlopen(f"{server.url}/v1/query") as r:
+        queries = json.loads(r.read())
+    assert any(q["state"] == "FINISHED" for q in queries)
+    assert any(q["state"] == "FAILED" for q in queries)  # from error test
+    with urllib.request.urlopen(f"{server.url}/v1/info") as r:
+        info = json.loads(r.read())
+    assert info["coordinator"] is True
+
+
+def test_dml_over_http(client):
+    client.execute("create table http_t as "
+                   "select n_nationkey k, n_regionkey r from nation")
+    _, rows = client.execute("delete from http_t where r = 0")
+    assert rows[0][0] == 5
+    _, rows = client.execute("update http_t set k = k + 1000 where r = 1")
+    assert rows[0][0] == 5
+    _, rows = client.execute("select count(*) c from http_t where k >= 1000")
+    assert rows[0][0] == 5
+    client.execute("drop table http_t")

@@ -41,3 +41,40 @@ def test_show_tables(runner):
     runner.run_sql("create table zzz as select 1 x from region limit 1")
     names = runner.run_sql("show tables").to_pydict()["table"]
     assert "lineitem" in names and "zzz" in names
+
+
+def test_delete(runner):
+    runner.run_sql("create table td as "
+                   "select n_nationkey k, n_regionkey r from nation")
+    got = runner.run_sql("delete from td where r = 1").to_pydict()
+    assert got["rows"][0] == 5
+    left = runner.run_sql("select count(*) c, min(r) mn from td").to_pydict()
+    assert left["c"][0] == 20 and left["mn"][0] == 0
+    got = runner.run_sql("delete from td").to_pydict()
+    assert got["rows"][0] == 20
+    assert runner.run_sql("select count(*) c from td").to_pydict()["c"][0] == 0
+    runner.run_sql("drop table td")
+
+
+def test_update(runner):
+    runner.run_sql("create table tu as "
+                   "select n_nationkey k, n_regionkey r from nation")
+    got = runner.run_sql(
+        "update tu set r = r + 100, k = k * 2 where r >= 3").to_pydict()
+    assert got["rows"][0] == 10
+    chk = runner.run_sql(
+        "select count(*) c from tu where r >= 103").to_pydict()
+    assert chk["c"][0] == 10
+    chk = runner.run_sql("select max(k) m from tu").to_pydict()
+    assert chk["m"][0] == 46  # nationkey 23 (r=3) doubled
+    got = runner.run_sql("update tu set k = 0").to_pydict()
+    assert got["rows"][0] == 25
+    assert runner.run_sql("select max(k) m from tu").to_pydict()["m"][0] == 0
+    runner.run_sql("drop table tu")
+
+
+def test_dml_readonly_tables_rejected(runner):
+    with pytest.raises(ValueError):
+        runner.run_sql("delete from nation where n_nationkey = 0")
+    with pytest.raises(ValueError):
+        runner.run_sql("update nation set n_nationkey = 1")
