@@ -104,6 +104,11 @@ class PhysHashJoin(PhysOp):
     unique_build: bool = True       # build keys unique (PK side)
     build_payload: Tuple[Tuple[str, str], ...] = ()  # (out_name, build_col)
     filter: Optional[ir.Expr] = None  # non-equi residual over probe+payload
+    build_est: float = -1.0         # planner's build-side row estimate (CBO)
+    probe_est: float = -1.0         # planner's probe-side row estimate
+    # distribution (reference: JoinNode.DistributionType, set by the
+    # add_exchanges pass — sql/planner/distribution.py):
+    dist_type: str = "replicated"   # replicated | partitioned
 
     def children(self):
         return (self.probe, self.build)
@@ -984,12 +989,27 @@ def _join_expand(plan: PhysHashJoin, probe: Chunk, build: Chunk,
         return _maybe_compact(Chunk(dict(probe.cols), mask), ctx)
 
     if plan.kind == "left":
-        # matched rows failing the filter are dropped; unmatched filler kept
-        mask = (keep_pair | (pair_mask & ~matched))
-        # note: filter dropping ALL matches of a probe row should produce a
-        # null row per outer semantics; the planner only emits filtered left
-        # joins where the filter references build columns as null-rejecting,
-        # so this matches (documented limitation, as in early Trino).
+        # outer semantics with residual filter (reference:
+        # operator/join/DefaultPageJoiner.java:296 outerJoinCurrentPosition):
+        # a probe row whose matches ALL fail the filter is null-extended —
+        # its first pair is kept with the build payload nulled out.
+        n_probe = probe.n_rows
+        hit = jnp.zeros((n_probe,), jnp.bool_).at[
+            jnp.where(keep_pair, probe_row, n_probe)].max(True, mode="drop")
+        first_pair = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), probe_row[1:] != probe_row[:-1]])
+        null_extend = (pair_mask & matched & first_pair
+                       & ~hit[jnp.minimum(probe_row, n_probe - 1)])
+        mask = keep_pair | (pair_mask & ~matched) | null_extend
+        if plan.filter is not None:
+            cols = dict(pairs.cols)
+            payload_names = {o for o, _ in plan.build_payload}
+            for name in payload_names:
+                c = cols[name]
+                cols[name] = DCol(c.dtype, c.kind, c.values, c.lengths,
+                                  c.valid_or_true() & ~null_extend,
+                                  c.dictionary)
+            return _maybe_compact(Chunk(cols, mask), ctx)
         return _maybe_compact(Chunk(pairs.cols, mask), ctx)
 
     return _maybe_compact(Chunk(pairs.cols, keep_pair), ctx)

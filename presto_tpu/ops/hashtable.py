@@ -76,7 +76,13 @@ def insert(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int):
     slot0 = h
     assigned0 = jnp.full((n,), -1, dtype=jnp.int32)
     pending0 = mask
-    max_rounds = jnp.int32(capacity + 1)
+    # Round budget: at load <= 1/2 with murmur-mixed hashes the longest
+    # probe path is O(log n) whp, so a generous logarithmic budget settles
+    # every row; when the table overflows, unsettleable rows would otherwise
+    # spin for `capacity` O(n) rounds (minutes) before reporting — instead
+    # exit early and let the caller's overflow-retry regrow the table.
+    max_rounds = jnp.int32(min(capacity + 1,
+                               96 + 16 * max(capacity.bit_length(), 1)))
 
     def cond(state):
         _, _, _, pending, rounds = state

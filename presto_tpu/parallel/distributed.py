@@ -70,19 +70,24 @@ def allgather_chunk(chunk: Chunk) -> Chunk:
 
 
 def repartition(chunk: Chunk, keys: Sequence[jnp.ndarray],
-                slack: int = 4) -> Chunk:
+                slack: int = 4, est_total_rows: Optional[int] = None) -> Chunk:
     """FIXED_HASH exchange: route each row to device ``hash(key) % nd``.
 
     On-device histogram + scatter into per-destination buckets, then one
     ``all_to_all`` — the kernel replacing the reference's row-at-a-time
     ``PagePartitioner`` (``PartitionedOutputOperator.java:411``) + HTTP
-    shuffle.  Buckets are padded to ``ceil(n/nd)*slack`` rows; overflowing
-    rows get mask=False — callers size slack so this cannot happen for
-    hash-distributed keys (validated by tests).
+    shuffle.  Buckets are padded to ``ceil(total/nd^2)*slack`` rows where
+    ``total`` defaults to the full (padded) global row count; callers with
+    sparse chunks (e.g. capacity-shaped aggregation partials) pass
+    ``est_total_rows`` — the estimated REAL global row count — to keep
+    static shapes proportional to data, not padding.  Overflowing rows get
+    mask=False and the returned flag set; callers route it into the host
+    retry loop, which re-traces with a larger multiplier.
     """
     nd = jax.lax.axis_size("d")
     n = chunk.n_rows
-    cap = (-(-n // nd)) * slack
+    total = n * nd if est_total_rows is None else min(est_total_rows, n * nd)
+    cap = max(64, (-(-total // (nd * nd))) * slack)
     dest = (hash_keys(keys) % jnp.uint32(nd)).astype(jnp.int32)
     dest = jnp.where(chunk.mask, dest, nd)
     order = jnp.argsort(dest, stable=True)
@@ -128,13 +133,29 @@ class TraceCtx:
     shard_masks: Dict[str, jnp.ndarray]      # table → shard row mask
     sf: float
     agg_cap_limit: int = 1 << 22
-    bcast_threshold: int = 1 << 31           # always broadcast this round
+    exchange_slack: int = 2                  # FIXED_HASH bucket padding
     single: bool = False                     # no mesh: gathers are identity
-    cap_multiplier: int = 1                  # host doubles on agg overflow
-    overflow: list = None                    # collected per-agg overflow flags
+    cap_multiplier: int = 1                  # global fallback multiplier
+    overflow: list = None                    # per-site overflow flags (traced)
+    overflow_keys: list = None               # parallel static site keys
+    site_mults: dict = None                  # (id(node), tag) → multiplier
+    trace_stats: dict = None                 # trace-time static-shape stats
 
     def gather(self, chunk: Chunk) -> Chunk:
         return chunk if self.single else allgather_chunk(chunk)
+
+    def site_mult(self, node, tag: str) -> int:
+        """Per-site capacity multiplier (grown by the host retry loop only
+        for the site that overflowed — a global multiplier would inflate
+        every exchange in the program)."""
+        base = (self.site_mults or {}).get((id(node), tag), 1)
+        return base * (self.cap_multiplier or 1)
+
+    def report_overflow(self, node, tag: str, flag) -> None:
+        if self.overflow is not None:
+            self.overflow.append(flag)
+            if self.overflow_keys is not None:
+                self.overflow_keys.append((id(node), tag))
 
 
 def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
@@ -205,6 +226,51 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
         f"distributed execution of {type(plan).__name__}")
 
 
+def deflate_chunk(chunk: Chunk) -> Chunk:
+    """Replicated → sharded: device d keeps rows with index % nd == d.
+
+    Needed before hash-repartitioning a replicated input (repartitioning a
+    replicated chunk directly would deliver nd copies of every row)."""
+    nd = jax.lax.axis_size("d")
+    me = jax.lax.axis_index("d")
+    mine = (jnp.arange(chunk.n_rows, dtype=jnp.int32) % nd) == me
+    return Chunk(chunk.cols, chunk.mask & mine)
+
+
+def _exchange_join_inputs(plan: PH.PhysHashJoin, probe: Chunk, prep: bool,
+                          build_local: Chunk, brep: bool, ctx: TraceCtx):
+    """Apply the join's exchange property: REPLICATED broadcasts the build
+    side; PARTITIONED hash-routes BOTH sides on the join keys so build and
+    probe of any key are device-local (AddExchanges partitionedExchange).
+
+    Returns (probe, build, out_replicated)."""
+    partitioned = (plan.dist_type == "partitioned" and not ctx.single
+                   and not brep)
+    if not partitioned:
+        build = build_local if brep else ctx.gather(build_local)  # BROADCAST
+        return probe, build, prep
+    if prep:
+        probe = deflate_chunk(probe)
+    # bucket sizes hug the planner's row estimates (×2 safety) — padded
+    # shapes would otherwise compound slack through chained exchanges; the
+    # per-site overflow retry absorbs estimate misses
+    pmult = ctx.site_mult(plan, "xp")
+    pest = int(plan.probe_est * 2) * pmult if plan.probe_est > 0 else None
+    pkeys = PH._key_arrays(probe, plan.probe_keys)
+    probe, p_ovf = repartition(probe, pkeys,
+                               slack=ctx.exchange_slack * pmult,
+                               est_total_rows=pest)
+    ctx.report_overflow(plan, "xp", p_ovf)
+    bmult = ctx.site_mult(plan, "xb")
+    best = int(plan.build_est * 2) * bmult if plan.build_est > 0 else None
+    bkeys = PH._key_arrays(build_local, plan.build_keys)
+    build, b_ovf = repartition(build_local, bkeys,
+                               slack=ctx.exchange_slack * bmult,
+                               est_total_rows=best)
+    ctx.report_overflow(plan, "xb", b_ovf)
+    return probe, build, False
+
+
 def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
     supported = (
         (plan.unique_build and plan.filter is None
@@ -216,7 +282,10 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
             "distributed expansion/filtered joins fall back to local path")
     probe, prep = execute_traced(plan.probe, ctx)
     build_local, brep = execute_traced(plan.build, ctx)
-    build = build_local if brep else ctx.gather(build_local)  # BROADCAST
+    probe, build, orep = _exchange_join_inputs(plan, probe, prep,
+                                               build_local, brep, ctx)
+    if ctx.trace_stats is not None:  # static per-device build allocation
+        ctx.trace_stats.setdefault("build_rows", []).append(build.n_rows)
     capacity = HT.capacity_for(build.n_rows)  # static bound ⇒ no overflow
     table = PH._build_kernel(build, plan.build_keys, capacity)
     if plan.kind in ("semi", "anti") or plan.unique_build:
@@ -224,15 +293,15 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
             return PH._join_unique_kernel(table, probe, build,
                                           plan.probe_keys,
                                           plan.build_payload,
-                                          plan.kind), prep
+                                          plan.kind), orep
         if plan.filter is None:
             slot = PH._probe_counts_kernel(table, probe, plan.probe_keys)[0]
             found = slot >= 0
             mask = probe.mask & (found if plan.kind == "semi" else ~found)
-            return Chunk(dict(probe.cols), mask), prep
+            return Chunk(dict(probe.cols), mask), orep
         hit = _chain_walk_exists(plan, probe, build, table)
         mask = probe.mask & (hit if plan.kind == "semi" else ~hit)
-        return Chunk(dict(probe.cols), mask), prep
+        return Chunk(dict(probe.cols), mask), orep
     raise NotImplementedError
 
 
@@ -261,7 +330,13 @@ def _try_chain_walk_join_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
 
     probe, prep = execute_traced(join.probe, ctx)
     build_local, brep = execute_traced(join.build, ctx)
-    build = build_local if brep or ctx.single else allgather_chunk(build_local)
+    if ctx.single:
+        build, prep = build_local, True
+    else:
+        probe, build, prep = _exchange_join_inputs(join, probe, prep,
+                                                   build_local, brep, ctx)
+    if ctx.trace_stats is not None:
+        ctx.trace_stats.setdefault("build_rows", []).append(build.n_rows)
     capacity = HT.capacity_for(build.n_rows)
     table = PH._build_kernel(build, join.build_keys, capacity)
     slot, cnt = PH._probe_counts_kernel(table, probe, join.probe_keys)
@@ -348,9 +423,12 @@ def _try_chain_walk_join_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
     inner_plan = PH.PhysHashAggregate(None, plan.groups, tuple(new_specs),
                                       plan.ndv_hint)
     if prep or ctx.single:
-        return _replicated_local_agg(inner_plan, partial_chunk, ctx), \
-            (prep or ctx.single)
-    return _traced_partial_final_agg(inner_plan, partial_chunk, ctx)
+        return _replicated_local_agg(inner_plan, partial_chunk, ctx,
+                                     key_node=plan), (prep or ctx.single)
+    # key overflow sites by the ORIGINAL plan node — inner_plan is rebuilt
+    # on every retrace, so its id would not survive a retry
+    return _traced_partial_final_agg(inner_plan, partial_chunk, ctx,
+                                     key_node=plan)
 
 
 def _chain_walk_exists(plan: PH.PhysHashJoin, probe: Chunk, build: Chunk,
@@ -410,25 +488,36 @@ _WHOLE_GROUP_FUNCS = frozenset(
 
 
 def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
-                              ctx: TraceCtx):
+                              ctx: TraceCtx, key_node=None):
+    key_node = key_node if key_node is not None else plan
     if any(s.distinct or s.func in _WHOLE_GROUP_FUNCS for s in plan.aggs):
         # FIXED_HASH aggregation: repartition rows by group-key hash so each
         # group lands wholly on one device, aggregate locally (including
-        # distinct dedup / order statistics), then replicate the disjoint
-        # partial outputs
+        # distinct dedup / order statistics); output stays sharded
         gkeys = PH._key_arrays(child, tuple(e for _, e in plan.groups))
         routed, r_ovf = repartition(
-            child, gkeys, slack=4 * (ctx.cap_multiplier or 1))
-        if ctx.overflow is not None:
-            ctx.overflow.append(r_ovf)
-        local = _replicated_local_agg(plan, routed, ctx)
-        return allgather_chunk(local), True
-    capacity = min(max(64, HT.capacity_for(plan.ndv_hint)),
-                   HT.next_pow2(2 * child.n_rows), ctx.agg_cap_limit)
+            child, gkeys,
+            slack=2 * ctx.exchange_slack * ctx.site_mult(key_node, "route"))
+        ctx.report_overflow(key_node, "route", r_ovf)
+        return _replicated_local_agg(plan, routed, ctx, key_node), False
+    # Capacities are ESTIMATE-driven and scale with per-site retry
+    # multipliers, so an overflow retry grows exactly the table that
+    # overflowed (reference: MultiChannelGroupByHash.java:364 rehash()).
+    # next_pow2(2*n) is the never-overflows bound at load <= 1/2.  Hugging
+    # the ndv estimate matters: worst-case bounds snowball through
+    # downstream exchanges (every consumer of a capacity-shaped chunk pads
+    # again).
+    nd = jax.lax.axis_size("d")
+    pmult = ctx.site_mult(key_node, "partial")
+    capacity = min(max(64, HT.capacity_for(min(plan.ndv_hint,
+                                               child.n_rows))) * pmult,
+                   ctx.agg_cap_limit * pmult,
+                   HT.next_pow2(2 * child.n_rows))
 
     # PARTIAL: local groups + state columns
     group_exprs = tuple(e for _, e in plan.groups)
-    owner, slot, _ = PH._insert_kernel(child, group_exprs, capacity)
+    owner, slot, p_ovf = PH._insert_kernel(child, group_exprs, capacity)
+    ctx.report_overflow(key_node, "partial", p_ovf)
     gvalid = owner != HT.EMPTY
     rep = jnp.minimum(owner, child.n_rows - 1)
     part_cols: Dict[str, DCol] = {}
@@ -442,23 +531,36 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
             state_specs.append((sname, sfunc))
     partial = Chunk(part_cols, gvalid)
 
-    # EXCHANGE: gather all partials (FIXED_HASH repartition is used by
-    # benchmarks via repartition(); gather keeps the final result replicated)
-    gathered = allgather_chunk(partial)
-
-    # FINAL: re-group gathered partials, merge states
-    fcapacity = min(HT.capacity_for(capacity), ctx.agg_cap_limit * 2)
+    # EXCHANGE (FIXED_HASH): route partial states by group-key hash so every
+    # group's partials land on exactly one device — the reference's
+    # partitioned remote exchange between PARTIAL and FINAL aggregation
+    # (``PushPartialAggregationThroughExchange`` + ``AddExchanges:215``).
+    # The result stays SHARDED; consumers gather only if they must.
     gkeys = tuple(ir.ColumnRef(n, e.dtype) for n, e in plan.groups)
-    owner2, slot2, _ = PH._insert_kernel(gathered, gkeys, fcapacity)
+    # total real partials ≈ ndv × (devices sharing a group); assume ~2 and
+    # let the per-site overflow retry absorb under-estimates
+    rmult = ctx.site_mult(key_node, "route")
+    routed, x_ovf = repartition(partial, PH._key_arrays(partial, gkeys),
+                                slack=ctx.exchange_slack * rmult,
+                                est_total_rows=plan.ndv_hint * 2 * rmult)
+    ctx.report_overflow(key_node, "route", x_ovf)
+
+    # FINAL: re-group this device's partials (≈ ndv/nd of them), merge states
+    fmult = ctx.site_mult(key_node, "final")
+    fcapacity = min(max(64, HT.capacity_for(plan.ndv_hint // nd + 1)) * fmult,
+                    ctx.agg_cap_limit * 2 * fmult,
+                    HT.next_pow2(2 * routed.n_rows))
+    owner2, slot2, f_ovf = PH._insert_kernel(routed, gkeys, fcapacity)
+    ctx.report_overflow(key_node, "final", f_ovf)
     gvalid2 = owner2 != HT.EMPTY
-    rep2 = jnp.minimum(owner2, gathered.n_rows - 1)
+    rep2 = jnp.minimum(owner2, routed.n_rows - 1)
     out_cols: Dict[str, DCol] = {}
     for name, e in plan.groups:
-        out_cols[name] = gathered.cols[name].take(rep2, valid=gvalid2)
+        out_cols[name] = routed.cols[name].take(rep2, valid=gvalid2)
     merged: Dict[str, DCol] = {}
     for sname, sfunc in state_specs:
-        c = gathered.cols[sname]
-        m = gathered.mask & (slot2 >= 0) & c.valid_or_true()
+        c = routed.cols[sname]
+        m = routed.mask & (slot2 >= 0) & c.valid_or_true()
         if sfunc == "sum":
             v = A.seg_sum(c.values, slot2, m, fcapacity, jnp.int64)
         elif sfunc == "min":
@@ -471,20 +573,21 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
                              dictionary=c.dictionary)
     for spec in plan.aggs:
         out_cols[spec.name] = _finalize_agg(spec, merged)
-    return Chunk(out_cols, gvalid2), True
+    return Chunk(out_cols, gvalid2), False
 
 
 def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk,
-                          ctx: TraceCtx = None) -> Chunk:
+                          ctx: TraceCtx = None, key_node=None) -> Chunk:
     if not plan.groups:
         return PH._exec_global_agg(plan, child)
-    mult = ctx.cap_multiplier if ctx is not None else 1
+    key_node = key_node if key_node is not None else plan
+    mult = ctx.site_mult(key_node, "cap") if ctx is not None else 1
     capacity = max(64, HT.capacity_for(min(plan.ndv_hint * 2 * mult,
                                            2 * child.n_rows)))
     group_exprs = tuple(e for _, e in plan.groups)
     owner, slot, ovf = PH._insert_kernel(child, group_exprs, capacity)
-    if ctx is not None and ctx.overflow is not None:
-        ctx.overflow.append(ovf)
+    if ctx is not None:
+        ctx.report_overflow(key_node, "cap", ovf)
     # reuse the local finish logic shapes
     gvalid = owner != HT.EMPTY
     rep = jnp.minimum(owner, child.n_rows - 1)
@@ -494,13 +597,14 @@ def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk,
     for spec in plan.aggs:
         if spec.distinct:
             out[spec.name] = _traced_distinct_count(
-                spec, child, slot, capacity, gvalid, ctx)
+                spec, child, slot, capacity, gvalid, ctx, key_node)
         else:
             out[spec.name] = PH._agg_col(spec, child, slot, capacity, gvalid)
     return Chunk(out, gvalid)
 
 
-def _traced_distinct_count(spec, child, slot, capacity, gvalid, ctx):
+def _traced_distinct_count(spec, child, slot, capacity, gvalid, ctx,
+                           key_node=None):
     """count(distinct x) per group: dedup (group, x) pairs with a second
     insert fixpoint, then count surviving representatives per group."""
     assert spec.func == "count", "only count(distinct) supported"
@@ -510,8 +614,8 @@ def _traced_distinct_count(spec, child, slot, capacity, gvalid, ctx):
     owner2, _, ovf = HT.insert(
         [slot.astype(jnp.int64), c.values.astype(jnp.int64)],
         pair_mask, pair_cap)
-    if ctx is not None and ctx.overflow is not None:
-        ctx.overflow.append(ovf)
+    if ctx is not None and key_node is not None:
+        ctx.report_overflow(key_node, f"distinct:{spec.name}", ovf)
     rep = jnp.minimum(owner2, child.n_rows - 1)
     rep_valid = owner2 != HT.EMPTY
     rep_group = jnp.where(rep_valid, slot[rep], -1)
@@ -654,12 +758,20 @@ class DistributedRunner:
     (SqlQueryScheduler + worker task protocol collapses into one compiled
     dataflow; stage linkage becomes SSA values)."""
 
-    def __init__(self, mesh: Mesh, scale_factor: float):
+    def __init__(self, mesh: Mesh, scale_factor: float,
+                 agg_cap_limit: int = 1 << 22,
+                 broadcast_row_limit: float = 1 << 20,
+                 exchange_slack: int = 2):
         self.mesh = mesh
         self.sf = scale_factor
         self.nd = mesh.devices.size
+        self.agg_cap_limit = agg_cap_limit
+        self.broadcast_row_limit = broadcast_row_limit
+        self.exchange_slack = exchange_slack
         self._plan_cache: dict = {}
-        self._fns: dict = {}  # (id(plan), mult) → jitted shard_map program
+        self._fns: dict = {}  # (id(plan), mults) → jitted shard_map program
+        self._stats_by_plan: dict = {}      # id(plan) → trace-time stats
+        self.last_trace_stats: dict = None  # stats of the last run's program
 
     def _shard_table(self, table: str, columns):
         """Host-side: generate + pad + device_put row-sharded arrays."""
@@ -699,39 +811,62 @@ class DistributedRunner:
         shard_map, _SHARD_MAP_NO_CHECK = _get_shard_map()
         from ..exec.runner import materialize
 
-        mult = 1
+        # Per-site overflow retry: each exchange/hash-table site is keyed by
+        # its plan node; on overflow only THAT site's multiplier grows (×8),
+        # so one under-estimated capacity never inflates the whole program
+        # (the reference rehashes exactly the table that filled —
+        # MultiChannelGroupByHash.java:364).
+        site_mults: dict = {}
         while True:
-            fn = self._fns.get((id(plan), mult))
+            mkey = (id(plan), tuple(sorted(site_mults.items())))
+            fn, keys_holder = self._fns.get(mkey, (None, None))
             if fn is None:
-                def stage(vals, msks, mult=mult):
+                keys_holder = []
+
+                def stage(vals, msks, mults=dict(site_mults),
+                          keys_out=keys_holder):
+                    del keys_out[:]  # trace-time reset (retrace safety)
                     shards = {
                         k: DCol(meta[k][0], meta[k][1], v, l, None,
                                 meta[k][2])
                         for k, (v, l) in vals.items()}
+                    stats = self._stats_by_plan[id(plan)] = {}
                     ctx = TraceCtx(shards, msks, self.sf,
-                                   cap_multiplier=mult, overflow=[])
+                                   agg_cap_limit=self.agg_cap_limit,
+                                   exchange_slack=self.exchange_slack,
+                                   site_mults=mults, overflow=[],
+                                   overflow_keys=keys_out,
+                                   trace_stats=stats)
                     out, rep = execute_traced(plan, ctx)
                     out = out if rep else allgather_chunk(out)
-                    ovf = (jnp.stack(ctx.overflow).any() if ctx.overflow
-                           else jnp.bool_(False))
-                    return out, ovf[None]
+                    ovf = (jnp.stack(ctx.overflow) if ctx.overflow
+                           else jnp.zeros((1,), jnp.bool_))
+                    return out, ovf
 
                 fn = jax.jit(shard_map(stage, mesh=self.mesh,
                                        in_specs=(P("d"), P("d")),
                                        out_specs=(P(), P("d")),
                                        **_SHARD_MAP_NO_CHECK))
-                self._fns[(id(plan), mult)] = fn
+                self._fns[mkey] = (fn, keys_holder)
             out_chunk, ovf = fn(shard_vals, masks)
-            if not bool(np.asarray(ovf).any()):
+            self.last_trace_stats = self._stats_by_plan.get(id(plan))
+            flags = np.asarray(ovf)
+            if not flags.any():
                 return materialize(out_chunk)
-            mult *= 8
+            k = max(len(keys_holder), 1)
+            per_site = flags.reshape(self.nd, k).any(axis=0)
+            for key, f in zip(keys_holder, per_site):
+                if f:
+                    site_mults[key] = site_mults.get(key, 1) * 8
 
     def run_sql(self, sql: str):
         from ..sql.parser import parse
+        from ..sql.planner.distribution import add_exchanges
         from ..sql.planner.planner import Planner
         from ..sql.planner.pruning import prune
         plan = self._plan_cache.get(sql)
         if plan is None:
             plan = prune(Planner(self.sf).plan(parse(sql)), None)
+            add_exchanges(plan, self.broadcast_row_limit)
             self._plan_cache[sql] = plan
         return self.run_physical(plan)

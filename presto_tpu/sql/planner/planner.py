@@ -217,7 +217,8 @@ class Planner:
                 tuple(ir.ColumnRef(n, types[n]) for n in lnames),
                 tuple(ir.ColumnRef(n, types[n]) for n in lnames),
                 kind="semi" if q.op == "intersect" else "anti",
-                unique_build=False)
+                unique_build=False, build_est=right.est,
+                probe_est=left.est)
         else:
             raise NotImplementedError(q.op)
         out = Rel(plan, scope, set(lnames), [frozenset(lnames)],
@@ -750,6 +751,16 @@ class Planner:
             self._collect_windows(oi.expr, wins)
         if not wins:
             return cur
+        if q.group_by or q.having is not None or any(
+                self._ast_has_agg(it.expr) and not isinstance(
+                    it.expr, ast.Star)
+                for it in q.items):
+            # SQL evaluates window functions AFTER aggregation; this engine
+            # plans them before it, which would silently compute windows
+            # over pre-aggregation rows — refuse rather than be wrong.
+            raise NotImplementedError(
+                "window functions combined with GROUP BY/aggregates in one "
+                "SELECT are not supported yet")
         self._window_map = {}
         by_spec: Dict[tuple, List[ast.WindowExpr]] = {}
         for w in wins:
@@ -1127,7 +1138,8 @@ class Planner:
                 plan = P.PhysHashJoin(
                     big.plan, small.plan,
                     (ir.lit_bigint(0),), (ir.lit_bigint(0),),
-                    kind="inner", unique_build=False, build_payload=payload)
+                    kind="inner", unique_build=False, build_payload=payload,
+                    build_est=small.est, probe_est=big.est)
                 merged = Rel(plan, big.scope.merged(small.scope),
                              big.columns | small.columns,
                              [bu | su for bu in big.unique_keys
@@ -1181,7 +1193,8 @@ class Planner:
             payload = tuple((c, c) for c in sorted(build.columns))
             plan = P.PhysHashJoin(
                 probe.plan, build.plan, tuple(pk), tuple(bk),
-                kind="inner", unique_build=unique, build_payload=payload)
+                kind="inner", unique_build=unique, build_payload=payload,
+                build_est=build.est, probe_est=probe.est)
             est = probe.est if unique else probe.est * 4
             merged = Rel(plan, probe.scope.merged(build.scope),
                          probe.columns | build.columns,
@@ -1286,7 +1299,8 @@ class Planner:
         plan = P.PhysHashJoin(
             cur.plan, rplan, tuple(equi_l), tuple(equi_r), kind="left",
             unique_build=unique, build_payload=payload,
-            filter=ir.and_(*residual) if residual else None)
+            filter=ir.and_(*residual) if residual else None,
+            build_est=right.est, probe_est=cur.est)
         return Rel(plan, scope, cur.columns | right.columns,
                    [], cur.est * (1 if unique else 4))
 
@@ -1346,7 +1360,8 @@ class Planner:
             cur.plan, inner.plan,
             tuple(self._strip_outer(k) for k in probe_keys),
             build_keys, kind="anti" if negated else "semi",
-            unique_build=False, build_payload=payload, filter=residual)
+            unique_build=False, build_payload=payload, filter=residual,
+            build_est=inner.est, probe_est=cur.est)
         return Rel(plan, cur.scope, cur.columns, cur.unique_keys, cur.est)
 
     def _apply_in(self, cur: Rel, node: ast.InSubquery, negated: bool,
@@ -1361,7 +1376,8 @@ class Planner:
         plan = P.PhysHashJoin(
             cur.plan, sub.plan, (arg,),
             (ir.ColumnRef(out_name, dtype),),
-            kind="anti" if negated else "semi", unique_build=False)
+            kind="anti" if negated else "semi", unique_build=False,
+            build_est=sub.est, probe_est=cur.est)
         return Rel(plan, cur.scope, cur.columns, cur.unique_keys, cur.est)
 
     def _apply_scalar_compare(self, cur: Rel, other: ast.Node, op: str,
@@ -1419,7 +1435,9 @@ class Planner:
         payload = ((val_name, val_name),)
         join = P.PhysHashJoin(cur.plan, proj, probe_keys, build_keys,
                               kind="inner", unique_build=True,
-                              build_payload=payload)
+                              build_payload=payload,
+                              build_est=min(inner.est, float(1 << 20)),
+                              probe_est=cur.est)
         pred = ir.Compare(op, oth, ir.ColumnRef(val_name, val_expr.dtype))
         if negated:
             pred = ir.Not(pred)
