@@ -330,8 +330,8 @@ def _exec_limit(child: Chunk, n: int) -> Chunk:
     return Chunk(cols, child.mask[:n])
 
 
-def _sort_traced(chunk: Chunk, keys) -> Chunk:
-    """Traced sort body (shared by local jit path and shard_map path).
+def _sort_key_arrays(chunk: Chunk, keys) -> List[Tuple[jnp.ndarray, bool]]:
+    """Normalize sort-key exprs to (int64 array, descending) pairs.
 
     NULL keys sort as larger than any non-null value (Trino default:
     NULLS LAST ascending, NULLS FIRST descending) — applied by replacing
@@ -352,7 +352,12 @@ def _sort_traced(chunk: Chunk, keys) -> Chunk:
             if c.validity is not None:
                 p = jnp.where(c.validity, p.astype(jnp.int64), SORT.I64_MAX)
             karrs.append((p, desc))
-    perm = SORT.argsort_multi(karrs, chunk.mask)
+    return karrs
+
+
+def _sort_traced(chunk: Chunk, keys) -> Chunk:
+    """Traced sort body (shared by local jit path and shard_map path)."""
+    perm = SORT.argsort_multi(_sort_key_arrays(chunk, keys), chunk.mask)
     cols = {n: c.take(perm) for n, c in chunk.cols.items()}
     return Chunk(cols, chunk.mask[perm])
 

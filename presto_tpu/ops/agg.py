@@ -2,21 +2,45 @@
 
 Replaces the reference's accumulator framework
 (``operator/aggregation/AccumulatorCompiler.java`` — per-function generated
-classes updating BigArray state row-at-a-time): here every aggregate is a
-masked scatter-reduce into a [capacity] state array, one fused XLA op per
-aggregate.  Each function defines the same lifecycle as the reference's
-partial/final steps (``sql/planner/plan/AggregationNode.java`` Step):
-input→state (this module), state⊕state (sum over partials — same kernels),
-state→output (finalization, e.g. avg = sum/count).
+classes updating BigArray state row-at-a-time).  Each function defines the
+same lifecycle as the reference's partial/final steps
+(``sql/planner/plan/AggregationNode.java`` Step): input→state (this
+module), state⊕state (sum over partials — same kernels), state→output
+(finalization, e.g. avg = sum/count).
+
+Strategy selection (measured on TPU v5e, 6M rows):
+
+- ``scatter``: one ``.at[group].op(v)`` per aggregate.  Fast on CPU;
+  pathological on TPU — XLA lowers colliding scatters to a serial loop
+  (~460 ms for a single G=8 seg_sum at 6M rows).
+- ``bcast``: broadcast-compare 2-D masked reduction ``sum(where(group==g))``
+  over ``[capacity, N]`` — XLA fuses it into ``capacity`` vector passes, no
+  scatter (≤ ~5 ms at G≤512).  Used on TPU for small capacities (the
+  ``BigintGroupByHash``-style specialization).
+- ``sort``: shared stable argsort by group id (CSE-deduped across the
+  aggregates of one node), masked cumulative scan, then per-slot
+  ``searchsorted`` run boundaries — sums/counts with no scatter at all
+  (argsort ~47 ms + gather ~60-110 ms + cumsum ~25 ms at 6M).  Used on TPU
+  for large capacities.  min/max sort by (group, value) instead and pick
+  the run's first/last element.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 I64_MAX = np.int64(2**63 - 1)
 I64_MIN = np.int64(-(2**63))
+
+SEG_BCAST_CAP = 512  # max capacity for the broadcast-compare strategy
+
+
+def _strategy(capacity: int) -> str:
+    if jax.default_backend() == "cpu":
+        return "scatter"
+    return "bcast" if capacity <= SEG_BCAST_CAP else "sort"
 
 
 def _scatter_idx(group: jnp.ndarray, mask: jnp.ndarray, capacity: int):
@@ -24,14 +48,93 @@ def _scatter_idx(group: jnp.ndarray, mask: jnp.ndarray, capacity: int):
     return jnp.where(mask & (group >= 0), group, capacity)
 
 
+# ---- broadcast-compare strategy (TPU, small capacity) ----
+
+def _bcast_sel(group, mask, capacity):
+    g = group.astype(jnp.int32)
+    return (g[None, :] == jnp.arange(capacity, dtype=jnp.int32)[:, None]) \
+        & mask[None, :]
+
+
+def _bcast_sum(values, group, mask, capacity, dtype):
+    sel = _bcast_sel(group, mask, capacity)
+    return jnp.sum(jnp.where(sel, values.astype(dtype)[None, :], 0), axis=1)
+
+
+def _bcast_reduce(values, group, mask, capacity, init, op):
+    sel = _bcast_sel(group, mask, capacity)
+    return op(jnp.where(sel, values[None, :], init), axis=1)
+
+
+# ---- sort strategy (TPU, large capacity) ----
+
+def _sorted_runs(group, mask, capacity):
+    """Shared sort of group ids (identical HLO across the aggregates of one
+    node — XLA CSE runs it once).  Returns (perm, sorted_keys, lo, hi):
+    rows of slot s occupy sorted positions [lo[s], hi[s])."""
+    key = jnp.where(mask & (group >= 0), group.astype(jnp.int32),
+                    jnp.int32(capacity))
+    perm = jnp.argsort(key)
+    sk = key[perm]
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    lo = jnp.searchsorted(sk, slots, side="left").astype(jnp.int64)
+    hi = jnp.searchsorted(sk, slots, side="right").astype(jnp.int64)
+    return perm, sk, lo, hi
+
+
+def _sort_sum(values, group, mask, capacity, dtype):
+    perm, sk, lo, hi = _sorted_runs(group, mask, capacity)
+    sv = jnp.where(sk < capacity, values[perm].astype(dtype), 0)
+    cs = jnp.cumsum(sv)
+    take = lambda i: jnp.where(i > 0, cs[jnp.maximum(i - 1, 0)], 0)
+    return take(hi) - take(lo)
+
+
+def _sort_extreme(values, group, mask, capacity, init, maximum):
+    """min/max per slot: sort by (group, value), take the run's first/last.
+    Values are bit-normalized so integer order == sorted order."""
+    from .sort import float_sort_keys
+    key = jnp.where(mask & (group >= 0), group.astype(jnp.int64),
+                    jnp.int64(capacity))
+    v64 = values.astype(jnp.int64) if jnp.issubdtype(
+        values.dtype, jnp.integer) else float_sort_keys(values)
+    perm = jnp.argsort(v64, stable=True)
+    perm = perm[jnp.argsort(key[perm], stable=True)]  # lexicographic
+    sk = key[perm]
+    slots = jnp.arange(capacity, dtype=jnp.int64)
+    lo = jnp.searchsorted(sk, slots, side="left")
+    hi = jnp.searchsorted(sk, slots, side="right")
+    sv = values[perm]
+    n = sv.shape[0]
+    pick = jnp.where(hi > lo,
+                     jnp.clip(hi - 1 if maximum else lo, 0, n - 1), 0)
+    return jnp.where(hi > lo, sv[pick], init)
+
+
+# ---- public segment ops (strategy-dispatched) ----
+
 def seg_sum(values, group, mask, capacity, dtype=None):
     dtype = dtype or values.dtype
+    strat = _strategy(capacity)
+    vmask = mask & (group >= 0)
+    if strat == "bcast":
+        return _bcast_sum(values, group, vmask, capacity, dtype)
+    if strat == "sort":
+        return _sort_sum(values, group, vmask, capacity, dtype)
     out = jnp.zeros((capacity,), dtype)
     return out.at[_scatter_idx(group, mask, capacity)].add(
         values.astype(dtype), mode="drop")
 
 
 def seg_count(group, mask, capacity):
+    strat = _strategy(capacity)
+    vmask = mask & (group >= 0)
+    if strat == "bcast":
+        return jnp.sum(_bcast_sel(group, vmask, capacity), axis=1,
+                       dtype=jnp.int64)
+    if strat == "sort":
+        _, _, lo, hi = _sorted_runs(group, vmask, capacity)
+        return hi - lo
     out = jnp.zeros((capacity,), jnp.int64)
     return out.at[_scatter_idx(group, mask, capacity)].add(
         jnp.int64(1), mode="drop")
@@ -39,17 +142,33 @@ def seg_count(group, mask, capacity):
 
 def seg_min(values, group, mask, capacity):
     init = I64_MAX if jnp.issubdtype(values.dtype, jnp.integer) else jnp.inf
+    strat = _strategy(capacity)
+    vmask = mask & (group >= 0)
+    if strat == "bcast":
+        return _bcast_reduce(values, group, vmask, capacity, init, jnp.min)
+    if strat == "sort":
+        return _sort_extreme(values, group, vmask, capacity, init, False)
     out = jnp.full((capacity,), init, values.dtype)
     return out.at[_scatter_idx(group, mask, capacity)].min(values, mode="drop")
 
 
 def seg_max(values, group, mask, capacity):
     init = I64_MIN if jnp.issubdtype(values.dtype, jnp.integer) else -jnp.inf
+    strat = _strategy(capacity)
+    vmask = mask & (group >= 0)
+    if strat == "bcast":
+        return _bcast_reduce(values, group, vmask, capacity, init, jnp.max)
+    if strat == "sort":
+        return _sort_extreme(values, group, vmask, capacity, init, True)
     out = jnp.full((capacity,), init, values.dtype)
     return out.at[_scatter_idx(group, mask, capacity)].max(values, mode="drop")
 
 
 def seg_any(flags, group, mask, capacity):
+    strat = _strategy(capacity)
+    if strat in ("bcast", "sort"):
+        return seg_sum(flags.astype(jnp.int32), group, mask & flags,
+                       capacity, jnp.int32) > 0
     out = jnp.zeros((capacity,), jnp.bool_)
     return out.at[_scatter_idx(group, mask & flags, capacity)].set(
         True, mode="drop")

@@ -42,6 +42,7 @@ from ..exec.expreval import eval_expr, eval_predicate, _scale_of
 from ..ops import agg as A
 from ..ops import decimal as DEC
 from ..ops import hashtable as HT
+from ..ops import sort as SORT
 from ..ops.hashing import hash_keys
 from ..sql import ir
 from ..tpch import generator
@@ -85,10 +86,19 @@ def repartition(chunk: Chunk, keys: Sequence[jnp.ndarray],
     retry loop, which re-traces with a larger multiplier.
     """
     nd = jax.lax.axis_size("d")
+    dest = (hash_keys(keys) % jnp.uint32(nd)).astype(jnp.int32)
+    return route_chunk(chunk, dest, slack, est_total_rows)
+
+
+def route_chunk(chunk: Chunk, dest: jnp.ndarray, slack: int = 4,
+                est_total_rows: Optional[int] = None):
+    """Exchange rows to explicit destination devices (dest in [0, nd);
+    masked rows ignored).  Shared core of the FIXED_HASH and range
+    (distributed sort) exchanges.  Returns (chunk, overflow)."""
+    nd = jax.lax.axis_size("d")
     n = chunk.n_rows
     total = n * nd if est_total_rows is None else min(est_total_rows, n * nd)
     cap = max(64, (-(-total // (nd * nd))) * slack)
-    dest = (hash_keys(keys) % jnp.uint32(nd)).astype(jnp.int32)
     dest = jnp.where(chunk.mask, dest, nd)
     order = jnp.argsort(dest, stable=True)
     sorted_dest = dest[order]
@@ -187,11 +197,15 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
         return _traced_agg(plan, ctx)
     if isinstance(plan, PH.PhysSort):
         child, rep = execute_traced(plan.child, ctx)
-        gathered = child if rep else ctx.gather(child)
-        out = PH._sort_traced(gathered, plan.keys)
-        if plan.limit is not None and plan.limit < out.n_rows:
-            out = PH._exec_limit(out, plan.limit)
-        return out, True
+        if ctx.single or rep:
+            gathered = child if rep else ctx.gather(child)
+            out = PH._sort_traced(gathered, plan.keys)
+            if plan.limit is not None and plan.limit < out.n_rows:
+                out = PH._exec_limit(out, plan.limit)
+            return out, True
+        if plan.limit is not None and plan.limit <= TOPN_PARTIAL_LIMIT:
+            return _traced_topn(plan, child, ctx), True
+        return _traced_dist_sort(plan, child, ctx), True
     if isinstance(plan, PH.PhysLimit):
         child, rep = execute_traced(plan.child, ctx)
         gathered = child if rep else ctx.gather(child)
@@ -204,8 +218,18 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
                 "UNION of replicated and sharded inputs")
         return PH.concat_chunks([c for c, _ in parts]), reps.pop()
     if isinstance(plan, PH.PhysWindow):
-        # windows need a global sort: gather, then the same traced kernel
         child, rep = execute_traced(plan.child, ctx)
+        if not ctx.single and not rep and plan.partition:
+            # partitions are independent: FIXED_HASH route by PARTITION BY
+            # keys, compute windows device-locally (the reference's
+            # AddExchanges partitioned exchange for WindowNode)
+            keys = PH._key_arrays(child, plan.partition)
+            routed, w_ovf = repartition(
+                child, keys,
+                slack=ctx.exchange_slack * ctx.site_mult(plan, "winx"))
+            ctx.report_overflow(plan, "winx", w_ovf)
+            return PH._window_traced(routed, plan), False
+        # no partition keys: one global ordering — gather, same kernel
         gathered = child if rep else ctx.gather(child)
         return PH._window_traced(gathered, plan), True
     if isinstance(plan, PH.PhysScalarBind):
@@ -461,6 +485,83 @@ def _chain_walk_exists(plan: PH.PhysHashJoin, probe: Chunk, build: Chunk,
         lambda st: st[0] < maxc, body,
         (jnp.int32(0), jnp.zeros((probe.n_rows,), jnp.bool_)))
     return hit
+
+
+# below this limit a distributed sort runs as partial TopN (k·nd merge);
+# above it, sample-based range partitioning (the reference's dist-sort)
+TOPN_PARTIAL_LIMIT = 1 << 16
+
+
+def _traced_topn(plan: PH.PhysSort, child: Chunk, ctx: TraceCtx) -> Chunk:
+    """Bounded distributed TopN: per-device sort+limit BELOW the exchange,
+    then a k·nd-row merge sort (reference: ``CreatePartialTopN`` +
+    ``operator/TopNOperator.java:37`` — a gather of full inputs is never
+    materialized)."""
+    loc = PH._sort_traced(child, plan.keys)
+    if plan.limit < loc.n_rows:
+        loc = PH._exec_limit(loc, plan.limit)
+    gathered = allgather_chunk(loc)
+    out = PH._sort_traced(gathered, plan.keys)
+    if plan.limit < out.n_rows:
+        out = PH._exec_limit(out, plan.limit)
+    return out
+
+
+def _lex_ge(arrays: List[jnp.ndarray], pivot: List[jnp.ndarray]):
+    """row-wise (arrays tuple) >= (pivot scalars tuple), lexicographic."""
+    ge = jnp.ones_like(arrays[0], dtype=jnp.bool_)
+    out = jnp.zeros_like(ge)
+    for a, p in zip(arrays, pivot):
+        out = out | (ge & (a > p))
+        ge = ge & (a == p)
+    return out | ge  # all-equal counts as >=
+
+
+def _traced_dist_sort(plan: PH.PhysSort, child: Chunk, ctx: TraceCtx):
+    """Distributed full sort: sample-based range partitioning + local sort
+    (reference: ``docs/admin/dist-sort.rst``, ``operator/MergeOperator`` —
+    here the N-way merge is the ordered device-major allgather).
+
+    Every device computes identical splitters from a gathered key sample;
+    rows route to the device owning their key range; local sorts make the
+    device-major concatenation globally ordered.  A trailing row-index key
+    splits duplicate-key ties so heavily skewed keys still balance."""
+    karrs = PH._sort_key_arrays(child, plan.keys)
+    normed = []
+    for a, desc in karrs:
+        a = a.astype(jnp.int64)
+        if desc:
+            a = ~a
+        normed.append(jnp.where(child.mask, a, SORT.I64_MAX))
+    n = child.n_rows
+    nd = jax.lax.axis_size("d")
+    me = jax.lax.axis_index("d")
+    # tie-breaker: globally unique row id (device-major)
+    normed.append(jnp.arange(n, dtype=jnp.int64) + me.astype(jnp.int64) * n)
+
+    s = min(128, n)  # samples per device
+    idx = (jnp.arange(s, dtype=jnp.int32) * max(n // max(s, 1), 1)) % n
+    gathered_samples = [jax.lax.all_gather(a[idx], "d", tiled=True)
+                        for a in normed]
+    sperm = SORT.argsort_multi([(g, False) for g in gathered_samples])
+    total = s * nd
+    dest = jnp.zeros((n,), jnp.int32)
+    for i in range(1, int(nd)):
+        pos = sperm[(i * total) // int(nd)]
+        pivot = [g[pos] for g in gathered_samples]
+        dest = dest + _lex_ge(normed, pivot).astype(jnp.int32)
+    routed, ovf = route_chunk(
+        child, dest, slack=ctx.exchange_slack * ctx.site_mult(plan, "sortx"))
+    ctx.report_overflow(plan, "sortx", ovf)
+    out = PH._sort_traced(routed, plan.keys)
+    # device-major gather of range-partitioned sorted runs = global order
+    # (valid rows are front-compacted per device; materialize() preserves
+    # masked-gather order)
+    gathered = allgather_chunk(out)
+    if plan.limit is not None and plan.limit < gathered.n_rows:
+        gathered = PH._sort_traced(gathered, plan.keys)
+        gathered = PH._exec_limit(gathered, plan.limit)
+    return gathered
 
 
 def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):

@@ -156,3 +156,37 @@ def test_distributed_order_statistics(mesh, local, dist):
         exp = local.run_sql(sql).to_pandas()
         got = dist.run_sql(sql).to_pandas()
         assert _norm(got) == _norm(exp)
+
+
+def _ordered(t):
+    df = t.to_pandas()
+    return [repr(tuple(x)) for x in df.itertuples(index=False)]
+
+
+def test_distributed_topn_partial_sort(mesh, local, dist):
+    """TopN (limit) queries run per-device sort+limit below the exchange
+    (CreatePartialTopN) — output order must match the local path exactly."""
+    for qid in (2, 3, 10, 18, 21):
+        exp = _ordered(local.run_sql(QUERIES[qid]))
+        got = _ordered(dist.run_sql(QUERIES[qid]))
+        assert got == exp, f"Q{qid} ordered mismatch"
+
+
+def test_distributed_range_partitioned_sort(mesh, local, dist):
+    """Full sort without limit: sample-based range partitioning + local
+    sorts; the device-major gather must be globally ordered (dist-sort)."""
+    sql = ("select l_orderkey, l_extendedprice from lineitem "
+           "order by l_extendedprice desc, l_orderkey")
+    exp = _ordered(local.run_sql(sql))
+    got = _ordered(dist.run_sql(sql))
+    assert len(got) > 50000 and got == exp
+
+
+def test_distributed_window_partitioned(mesh, local, dist):
+    """PARTITION BY windows route by partition key and compute locally."""
+    sql = ("select o_custkey, o_orderkey, rank() over "
+           "(partition by o_custkey order by o_totalprice desc) r "
+           "from orders")
+    exp = sorted(_ordered(local.run_sql(sql)))
+    got = sorted(_ordered(dist.run_sql(sql)))
+    assert got == exp

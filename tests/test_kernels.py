@@ -176,3 +176,47 @@ class TestDecimal:
         got = int(dec.decimal_div(jnp.asarray([200], jnp.int64), 2,
                                   jnp.asarray([300], jnp.int64), 2, 2)[0])
         assert got == 67
+
+
+# ---- segment-aggregation strategy equivalence (TPU paths tested on CPU) ----
+
+def test_seg_strategies_agree():
+    """The bcast (small-cap TPU) and sort (large-cap TPU) strategies must
+    produce exactly the scatter (CPU) results for every seg op."""
+    import numpy as np
+    import jax.numpy as jnp
+    from presto_tpu.ops import agg as A
+
+    rng = np.random.default_rng(7)
+    n, cap = 5000, 64
+    group = jnp.asarray(rng.integers(-1, cap, n).astype(np.int32))
+    mask = jnp.asarray(rng.random(n) < 0.8)
+    vi = jnp.asarray(rng.integers(-1000, 1000, n).astype(np.int64))
+    vf = jnp.asarray(rng.normal(size=n))
+
+    def ref_sum(v):
+        return A._bcast_sum(v, group, mask & (group >= 0), cap, jnp.int64)
+
+    scatter_sum = A.seg_sum(vi, group, mask, cap)  # CPU default = scatter
+    assert np.array_equal(np.asarray(scatter_sum), np.asarray(ref_sum(vi)))
+    sort_sum = A._sort_sum(vi, group, mask & (group >= 0), cap, jnp.int64)
+    assert np.array_equal(np.asarray(scatter_sum), np.asarray(sort_sum))
+
+    scatter_cnt = A.seg_count(group, mask, cap)
+    _, _, lo, hi = A._sorted_runs(group, mask & (group >= 0), cap)
+    assert np.array_equal(np.asarray(scatter_cnt), np.asarray(hi - lo))
+
+    for v in (vi, vf):
+        mn_scatter = A.seg_min(v, group, mask, cap)
+        mx_scatter = A.seg_max(v, group, mask, cap)
+        init_mn = A.I64_MAX if v.dtype == jnp.int64 else jnp.inf
+        init_mx = A.I64_MIN if v.dtype == jnp.int64 else -jnp.inf
+        vmask = mask & (group >= 0)
+        mn_b = A._bcast_reduce(v, group, vmask, cap, init_mn, jnp.min)
+        mx_b = A._bcast_reduce(v, group, vmask, cap, init_mx, jnp.max)
+        assert np.array_equal(np.asarray(mn_scatter), np.asarray(mn_b))
+        assert np.array_equal(np.asarray(mx_scatter), np.asarray(mx_b))
+        mn_s = A._sort_extreme(v, group, vmask, cap, init_mn, False)
+        mx_s = A._sort_extreme(v, group, vmask, cap, init_mx, True)
+        assert np.array_equal(np.asarray(mn_scatter), np.asarray(mn_s))
+        assert np.array_equal(np.asarray(mx_scatter), np.asarray(mx_s))
