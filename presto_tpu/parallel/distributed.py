@@ -90,6 +90,104 @@ def repartition(chunk: Chunk, keys: Sequence[jnp.ndarray],
     return route_chunk(chunk, dest, slack, est_total_rows)
 
 
+# ------------------------------------------------- skew-aware exchange
+#
+# A FIXED_HASH exchange sends every row of one key to a single device, so a
+# heavy key (one customer owning 10%+ of lineitem) overflows its destination
+# bucket no matter how large the capacity multiplier grows.  The reference
+# has no answer below the query level (the PagePartitioner just routes;
+# `operator/PartitionedOutputOperator.java:411`); here the exchange itself
+# is skew-aware: detect overrepresented key hashes from a gathered sample,
+# split their probe rows round-robin across all devices, and replicate
+# their (few) build rows everywhere — the classic broadcast-skew join,
+# expressed as two collectives inside the same compiled program.
+
+SKEW_K = 8          # max heavy hash values tracked per exchange
+SKEW_SAMPLE = 256   # key-hash samples per device
+HEAVY_BUILD_CAP = 64  # per-device compaction buffer for heavy build rows
+HASH_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def detect_heavy_hashes(h: jnp.ndarray, mask: jnp.ndarray,
+                        k: int = SKEW_K) -> jnp.ndarray:
+    """Top-k overrepresented key-hash values, identical on every device.
+
+    Gathers SKEW_SAMPLE strided samples per device, sorts the combined
+    sample, and flags hash values whose run length exceeds half a device's
+    fair share (fraction >= 1/(2*nd)).  Returns uint32[k] padded with
+    HASH_SENTINEL.  False positives are harmless: "heavy" routing is
+    correct for ANY key set, it just costs a little replication."""
+    n = h.shape[0]
+    nd = jax.lax.axis_size("d")
+    s = min(SKEW_SAMPLE, n)
+    step = max(n // max(s, 1), 1) | 1  # odd: never aliases deflate's %nd mask
+    idx = (jnp.arange(s, dtype=jnp.int32) * step) % n
+    sample = jnp.where(mask[idx], h[idx], HASH_SENTINEL)
+    sg = jnp.sort(jax.lax.all_gather(sample, "d", tiled=True))
+    total = sg.shape[0]
+    counts = (jnp.searchsorted(sg, sg, side="right")
+              - jnp.searchsorted(sg, sg, side="left"))
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sg[1:] != sg[:-1]])
+    thresh = max(4, total // (2 * int(nd)))
+    cand = jnp.where(is_start & (sg != HASH_SENTINEL) & (counts >= thresh),
+                     counts, 0)
+    topv, topi = jax.lax.top_k(cand, k)
+    return jnp.where(topv > 0, sg[topi], HASH_SENTINEL)
+
+
+def _hash_in(h: jnp.ndarray, heavy: jnp.ndarray) -> jnp.ndarray:
+    hit = jnp.zeros(h.shape, jnp.bool_)
+    for i in range(heavy.shape[0]):
+        hit = hit | ((h == heavy[i]) & (heavy[i] != HASH_SENTINEL))
+    return hit
+
+
+def repartition_skew(chunk: Chunk, keys: Sequence[jnp.ndarray],
+                     heavy: jnp.ndarray, slack: int = 4,
+                     est_total_rows: Optional[int] = None):
+    """FIXED_HASH exchange with heavy-key splitting: rows of a heavy hash
+    go round-robin (offset by source device so destinations interleave)
+    instead of all to one device.  Only valid when the consumer tolerates a
+    key spanning devices (probe side of a join whose heavy build rows are
+    replicated; mergeable partial states)."""
+    nd = jax.lax.axis_size("d")
+    me = jax.lax.axis_index("d")
+    h = hash_keys(keys)
+    hot = _hash_in(h, heavy)
+    dest = (h % jnp.uint32(nd)).astype(jnp.int32)
+    rr = ((jnp.cumsum(hot.astype(jnp.int32)) - 1)
+          + me.astype(jnp.int32)) % jnp.int32(nd)
+    return route_chunk(chunk, jnp.where(hot, rr, dest), slack,
+                       est_total_rows)
+
+
+def gather_compact(chunk: Chunk, sel: jnp.ndarray, cap: int):
+    """Compact selected rows into a cap-row buffer and replicate it on all
+    devices (all_gather) — the broadcast half of the skew join.  Returns
+    (Chunk[cap*nd rows], overflow)."""
+    sel = sel & chunk.mask
+    pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    ok = sel & (pos < cap)
+    overflow = (sel & (pos >= cap)).any()
+    slot = jnp.where(ok, pos, cap)  # cap = OOB, dropped
+
+    def pack(x, fill=0):
+        buf = jnp.full((cap,) + x.shape[1:], fill, x.dtype)
+        buf = buf.at[slot].set(x, mode="drop")
+        return jax.lax.all_gather(buf, "d", tiled=True)
+
+    mask = pack(ok, fill=False)
+    cols = {}
+    for name, c in chunk.cols.items():
+        cols[name] = DCol(
+            c.dtype, c.kind, pack(c.values),
+            None if c.lengths is None else pack(c.lengths),
+            None if c.validity is None else pack(c.validity, fill=False),
+            c.dictionary)
+    return Chunk(cols, mask), overflow
+
+
 def route_chunk(chunk: Chunk, dest: jnp.ndarray, slack: int = 4,
                 est_total_rows: Optional[int] = None):
     """Exchange rows to explicit destination devices (dest in [0, nd);
@@ -275,23 +373,49 @@ def _exchange_join_inputs(plan: PH.PhysHashJoin, probe: Chunk, prep: bool,
         return probe, build, prep
     if prep:
         probe = deflate_chunk(probe)
+    # Skew handling is sound whenever splitting a probe key across devices
+    # cannot duplicate or lose output rows: unique-build joins (each split
+    # probe row still meets its one build row, now replicated) and
+    # semi/anti (existence tests).  Expanding joins keep plain hashing.
+    pkeys = PH._key_arrays(probe, plan.probe_keys)
+    heavy = None
+    if plan.unique_build or plan.kind in ("semi", "anti"):
+        heavy = detect_heavy_hashes(hash_keys(pkeys), probe.mask)
     # bucket sizes hug the planner's row estimates (×2 safety) — padded
     # shapes would otherwise compound slack through chained exchanges; the
     # per-site overflow retry absorbs estimate misses
     pmult = ctx.site_mult(plan, "xp")
     pest = int(plan.probe_est * 2) * pmult if plan.probe_est > 0 else None
-    pkeys = PH._key_arrays(probe, plan.probe_keys)
-    probe, p_ovf = repartition(probe, pkeys,
-                               slack=ctx.exchange_slack * pmult,
-                               est_total_rows=pest)
+    if heavy is not None:
+        probe, p_ovf = repartition_skew(probe, pkeys, heavy,
+                                        slack=ctx.exchange_slack * pmult,
+                                        est_total_rows=pest)
+    else:
+        probe, p_ovf = repartition(probe, pkeys,
+                                   slack=ctx.exchange_slack * pmult,
+                                   est_total_rows=pest)
     ctx.report_overflow(plan, "xp", p_ovf)
     bmult = ctx.site_mult(plan, "xb")
     best = int(plan.build_est * 2) * bmult if plan.build_est > 0 else None
     bkeys = PH._key_arrays(build_local, plan.build_keys)
-    build, b_ovf = repartition(build_local, bkeys,
-                               slack=ctx.exchange_slack * bmult,
-                               est_total_rows=best)
-    ctx.report_overflow(plan, "xb", b_ovf)
+    if heavy is not None:
+        # heavy keys: replicate their build rows on every device (few for a
+        # unique build side); cold keys: partitioned exchange as usual
+        hot_b = _hash_in(hash_keys(bkeys), heavy)
+        hcap = HEAVY_BUILD_CAP * bmult
+        heavy_chunk, h_ovf = gather_compact(build_local, hot_b, hcap)
+        ctx.report_overflow(plan, "xbh", h_ovf)
+        cold = Chunk(build_local.cols, build_local.mask & ~hot_b)
+        build, b_ovf = repartition(cold, bkeys,
+                                   slack=ctx.exchange_slack * bmult,
+                                   est_total_rows=best)
+        ctx.report_overflow(plan, "xb", b_ovf)
+        build = PH.concat_chunks([build, heavy_chunk])
+    else:
+        build, b_ovf = repartition(build_local, bkeys,
+                                   slack=ctx.exchange_slack * bmult,
+                                   est_total_rows=best)
+        ctx.report_overflow(plan, "xb", b_ovf)
     return probe, build, False
 
 
