@@ -108,10 +108,15 @@ class RestartOnFailure:
     re-plans with the new device count (splits re-derive from row ranges)."""
 
     def __init__(self, run: Callable[[List[str]], object],
-                 detector: HeartbeatFailureDetector, max_attempts: int = 3):
+                 detector: HeartbeatFailureDetector, max_attempts: int = 3,
+                 retryable: Optional[Callable[[Exception], bool]] = None):
         self.run = run
         self.detector = detector
         self.max_attempts = max_attempts
+        # only infrastructure failures replay; a user error (bad SQL,
+        # unknown table) propagates immediately — the reference's split
+        # between transport retries (RequestErrorTracker) and TrinoException
+        self.retryable = retryable or (lambda e: True)
 
     def execute(self):
         last_err = None
@@ -122,6 +127,8 @@ class RestartOnFailure:
             try:
                 return self.run(workers)
             except Exception as e:  # noqa: BLE001
+                if not self.retryable(e):
+                    raise
                 last_err = e
         raise RuntimeError(
             f"query failed after {self.max_attempts} attempts") from last_err
