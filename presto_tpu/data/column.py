@@ -105,8 +105,12 @@ class Column:
                 )
         else:
             vals = np.asarray(self.values)
-            for i in range(n):
-                out.append(vals[i].item() if valid[i] else None)
+            if vals.dtype == object:  # long-decimal python ints
+                for i in range(n):
+                    out.append(vals[i] if valid[i] else None)
+            else:
+                for i in range(n):
+                    out.append(vals[i].item() if valid[i] else None)
         return out
 
 

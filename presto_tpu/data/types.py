@@ -182,6 +182,12 @@ def is_decimal(t: DataType) -> bool:
     return isinstance(t, DecimalType)
 
 
+def is_long_decimal(t: DataType) -> bool:
+    """DECIMAL(p>18): unscaled value exceeds int64 — stored as paired
+    int64 words [N,2] (reference: ``spi/block/Int128ArrayBlock.java``)."""
+    return isinstance(t, DecimalType) and t.precision > 18
+
+
 def is_integral(t: DataType) -> bool:
     return isinstance(t, (BigintType, IntegerType))
 

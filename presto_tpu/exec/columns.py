@@ -107,6 +107,10 @@ def to_host(col: DCol, sel: np.ndarray) -> Column:
     if col.kind == BYTES:
         return Column(col.dtype, vals, validity, BYTES,
                       lengths=np.asarray(col.lengths)[sel])
+    if vals.ndim == 2 and T.is_decimal(col.dtype):
+        # long decimal (hi, lo) words → exact python ints
+        from ..ops.int128 import to_host_ints
+        return Column(col.dtype, to_host_ints(vals), validity, PLAIN)
     return Column(col.dtype, vals, validity, PLAIN)
 
 

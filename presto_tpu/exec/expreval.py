@@ -28,12 +28,30 @@ from ..data import types as T
 from ..data.column import PLAIN, DICT, BYTES
 from ..ops import strings as S
 from ..ops import decimal as D
+from ..ops import int128 as I128
 from ..sql import ir
 from .columns import Chunk, DCol
 
 
 def _scale_of(t: T.DataType) -> int:
     return t.scale if T.is_decimal(t) else 0
+
+
+def _is_i128(col: DCol) -> bool:
+    """Long-decimal column: values [N,2] = (hi, lo) int64 words."""
+    return col.kind == PLAIN and col.values.ndim == 2 \
+        and T.is_decimal(col.dtype)
+
+
+def _col_i128(col: DCol, to_scale: Optional[int] = None):
+    """Column → (hi, lo) words, optionally rescaled."""
+    if _is_i128(col):
+        hi, lo = I128.unpack(col.values)
+    else:
+        hi, lo = I128.from_i64(col.values.astype(jnp.int64))
+    if to_scale is not None:
+        hi, lo = I128.rescale(hi, lo, _scale_of(col.dtype), to_scale)
+    return hi, lo
 
 
 def _and_validity(*vs: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
@@ -92,7 +110,14 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
             return DCol(t, BYTES, vals, jnp.full((n,), len(s), jnp.int32))
         if isinstance(t, T.BooleanType):
             return DCol(t, PLAIN, jnp.full((n,), bool(expr.value), jnp.bool_))
-        return DCol(t, PLAIN, jnp.full((n,), int(expr.value), jnp.int64))
+        v = int(expr.value)
+        if not (-2**63 <= v < 2**63):  # long-decimal literal: (hi, lo) words
+            hi, lo = v >> 64, v % (1 << 64)
+            lo = lo - (1 << 64) if lo >= (1 << 63) else lo
+            return DCol(t if T.is_long_decimal(t) else T.decimal(38, 0),
+                        PLAIN, jnp.broadcast_to(
+                            jnp.asarray([hi, lo], jnp.int64), (n, 2)))
+        return DCol(t, PLAIN, jnp.full((n,), v, jnp.int64))
 
     if isinstance(expr, ir.Cast):
         src = eval_expr(expr.arg, chunk)
@@ -100,6 +125,10 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
 
     if isinstance(expr, ir.Negate):
         a = eval_expr(expr.arg, chunk)
+        if _is_i128(a):
+            return DCol(a.dtype, PLAIN,
+                        I128.pack(*I128.neg(*I128.unpack(a.values))),
+                        validity=a.validity)
         return DCol(a.dtype, PLAIN, -a.values, validity=a.validity)
 
     if isinstance(expr, ir.Arith):
@@ -174,20 +203,31 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
         valid = None
         taken = jnp.zeros((n,), jnp.bool_)
         rs = _scale_of(rt)
+        i128 = T.is_long_decimal(rt)
+
+        def branch_vals(v: DCol):
+            if i128:  # promote every branch to packed (hi, lo) words
+                return I128.pack(*_col_i128(v, rs))
+            return v.values
+
         for cond, val in expr.whens:
             c = eval_expr(cond, chunk)
             cm = c.values.astype(jnp.bool_) & c.valid_or_true() & ~taken
             v = _rescale_col(eval_expr(val, chunk), rs)
+            vv = branch_vals(v)
+            cmv = cm[:, None] if vv.ndim == 2 else cm
             if out is None:
-                out = jnp.where(cm, v.values, 0)
+                out = jnp.where(cmv, vv, 0)
                 valid = jnp.where(cm, v.valid_or_true(), False)
             else:
-                out = jnp.where(cm, v.values, out)
+                out = jnp.where(cmv, vv, out)
                 valid = jnp.where(cm, v.valid_or_true(), valid)
             taken = taken | cm
         if expr.default is not None:
             d = _rescale_col(eval_expr(expr.default, chunk), rs)
-            out = jnp.where(taken, out, d.values)
+            dv = branch_vals(d)
+            tkv = taken[:, None] if dv.ndim == 2 else taken
+            out = jnp.where(tkv, out, dv)
             valid = jnp.where(taken, valid, d.valid_or_true())
         else:
             valid = jnp.where(taken, valid, False)
@@ -385,6 +425,20 @@ def _cast(col: DCol, to: T.DataType) -> DCol:
     if col.dtype == to:
         return col
     fs, ts = _scale_of(col.dtype), _scale_of(to)
+    if _is_i128(col):
+        hi, lo = I128.unpack(col.values)
+        if isinstance(to, T.DoubleType):
+            return DCol(to, PLAIN, I128.to_f64(hi, lo) / (10 ** fs),
+                        validity=col.validity)
+        hi, lo = I128.rescale(hi, lo, fs, ts)
+        if T.is_long_decimal(to):
+            return DCol(to, PLAIN, I128.pack(hi, lo), validity=col.validity)
+        return DCol(to, PLAIN, lo, validity=col.validity)  # fits int64
+    if T.is_long_decimal(to) and col.kind == PLAIN \
+            and not isinstance(to, (T.DoubleType,)):
+        hi, lo = I128.from_i64(col.values.astype(jnp.int64))
+        hi, lo = I128.rescale(hi, lo, fs, ts)
+        return DCol(to, PLAIN, I128.pack(hi, lo), validity=col.validity)
     if col.kind == PLAIN:
         if isinstance(to, T.TimestampType) and isinstance(col.dtype, T.DateType):
             return DCol(to, PLAIN,
@@ -410,7 +464,11 @@ def _rescale_col(col: DCol, to_scale: int) -> DCol:
     fs = _scale_of(col.dtype)
     if fs == to_scale or col.kind != PLAIN:
         return col
-    return DCol(T.decimal(38, to_scale), PLAIN,
+    if _is_i128(col):
+        hi, lo = I128.rescale(*I128.unpack(col.values), fs, to_scale)
+        return DCol(T.decimal(38, to_scale), PLAIN, I128.pack(hi, lo),
+                    validity=col.validity)
+    return DCol(T.decimal(18, to_scale), PLAIN,
                 D.rescale(col.values.astype(jnp.int64), fs, to_scale),
                 validity=col.validity)
 
@@ -421,6 +479,10 @@ def _arith(expr: ir.Arith, chunk: Chunk) -> DCol:
     r = eval_expr(expr.right, chunk)
     valid = _and_validity(l.validity, r.validity)
     rs = _scale_of(expr.dtype)
+    if _is_i128(l) or _is_i128(r) or T.is_long_decimal(expr.dtype):
+        # DECIMAL(p>18) results are real int128 values (a short×short
+        # product typed long would silently wrap in int64)
+        return _arith_i128(expr, l, r, valid, rs)
     lv = l.values.astype(jnp.int64)
     rv = r.values.astype(jnp.int64)
     if expr.op in ("+", "-"):
@@ -435,6 +497,36 @@ def _arith(expr: ir.Arith, chunk: Chunk) -> DCol:
     else:
         raise ValueError(expr.op)
     return DCol(expr.dtype, PLAIN, out, validity=valid)
+
+
+def _arith_i128(expr: ir.Arith, l: DCol, r: DCol, valid, rs: int) -> DCol:
+    """Long-decimal arithmetic in paired-int64 words
+    (reference: ``spi/type/DecimalOperators`` over Int128)."""
+    ls, rrs = _scale_of(l.dtype), _scale_of(r.dtype)
+    if expr.op in ("+", "-"):
+        a = _col_i128(l, rs)
+        b = _col_i128(r, rs)
+        out = I128.add(*a, *b) if expr.op == "+" else I128.sub(*a, *b)
+    elif expr.op == "*":
+        out = I128.mul(*_col_i128(l), *_col_i128(r))  # scales add
+    elif expr.op == "/":
+        # rescale numerator by 10^(rs + s_r - s_l), divide HALF_UP
+        shift = rs + rrs - ls
+        nhi, nlo = _col_i128(l)
+        if shift > 0:
+            nhi, nlo = I128.rescale(nhi, nlo, 0, shift)
+        elif shift < 0:
+            nhi, nlo = I128.rescale(nhi, nlo, -shift, 0)
+        dhi, dlo = _col_i128(r)
+        out = I128.div_round_half_up(nhi, nlo, dhi, dlo)
+        valid = _and_validity(valid, ~I128.eq(dhi, dlo,
+                                              jnp.zeros_like(dhi),
+                                              jnp.zeros_like(dlo)))
+    else:
+        raise ValueError(expr.op)
+    if T.is_long_decimal(expr.dtype):
+        return DCol(expr.dtype, PLAIN, I128.pack(*out), validity=valid)
+    return DCol(expr.dtype, PLAIN, out[1], validity=valid)  # fits int64
 
 
 def _compare(expr: ir.Compare, chunk: Chunk) -> DCol:
@@ -474,6 +566,9 @@ def _compare(expr: ir.Compare, chunk: Chunk) -> DCol:
     # numeric/date/decimal path: align scales
     ls, rs = _scale_of(l.dtype), _scale_of(r.dtype)
     s = max(ls, rs)
+    if _is_i128(l) or _is_i128(r):
+        m = I128.cmp(expr.op, *_col_i128(l, s), *_col_i128(r, s))
+        return DCol(T.BOOLEAN, PLAIN, m, validity=valid)
     lv = D.rescale(l.values.astype(jnp.int64), ls, s)
     rv = D.rescale(r.values.astype(jnp.int64), rs, s)
     return DCol(T.BOOLEAN, PLAIN, _int_cmp(expr.op, lv, rv), validity=valid)

@@ -35,6 +35,7 @@ from ..ops import agg as A
 from ..ops import hashtable as HT
 from ..ops import sort as SORT
 from ..ops import decimal as DEC
+from ..ops import int128 as I128
 from ..sql import ir
 from .columns import Chunk, DCol, from_host, to_host
 from .expreval import eval_expr, eval_predicate, _scale_of
@@ -92,6 +93,17 @@ class PhysHashAggregate(PhysOp):
 
     def children(self):
         return (self.child,)
+
+
+@dataclass
+class PhysMaterial(PhysOp):
+    """An already-materialized chunk as a leaf (streaming slices, stage
+    results fed back into a residual plan)."""
+
+    chunk: object  # Chunk
+
+    def children(self):
+        return ()
 
 
 @dataclass
@@ -210,6 +222,8 @@ def _key_arrays(chunk: Chunk, exprs: Sequence[ir.Expr]) -> List[jnp.ndarray]:
         c = eval_expr(e, chunk)
         if c.kind == BYTES:
             out.extend(SORT.bytes_sort_keys(c.values, c.lengths))
+        elif c.values.ndim == 2:  # long decimal: both words key
+            out.extend(I128.unpack(c.values))
         else:
             out.append(c.values.astype(jnp.int64))
     return out
@@ -277,6 +291,8 @@ def execute(plan: PhysOp, ctx: ExecContext) -> Chunk:
 
 
 def _execute_node(plan: PhysOp, ctx: ExecContext) -> Chunk:
+    if isinstance(plan, PhysMaterial):
+        return plan.chunk
     if isinstance(plan, PhysScan):
         return ctx.datasource.scan(plan.table, plan.columns, plan.alias_prefix)
     if isinstance(plan, PhysFilter):
@@ -341,6 +357,8 @@ def _sort_key_arrays(chunk: Chunk, keys) -> List[Tuple[jnp.ndarray, bool]]:
         c = eval_expr(e, chunk)
         if c.kind == BYTES:
             packs = SORT.bytes_sort_keys(c.values, c.lengths)
+        elif c.values.ndim == 2:  # long decimal: (hi signed, lo unsigned)
+            packs = I128.sort_keys(*I128.unpack(c.values))
         elif c.kind == DICT:
             # order by string value: host-computed rank of each code
             rank = np.argsort(np.argsort(
@@ -610,8 +628,11 @@ def _exec_scalar_bind(plan: PhysScalarBind, ctx: ExecContext) -> Chunk:
         else:
             assert len(sel) == 1, "scalar subquery returned >1 row"
             v = np.asarray(c.values)[sel[0]]
-            cols[name] = DCol(c.dtype, PLAIN,
-                              jnp.full((n,), int(v), jnp.int64))
+            if v.ndim == 1:  # long decimal (hi, lo) words
+                vals = jnp.broadcast_to(jnp.asarray(v, jnp.int64), (n, 2))
+            else:
+                vals = jnp.full((n,), int(v), jnp.int64)
+            cols[name] = DCol(c.dtype, PLAIN, vals)
     return Chunk(cols, child.mask)
 
 
@@ -680,6 +701,19 @@ def _exec_agg(plan: PhysHashAggregate, ctx: ExecContext) -> Chunk:
     return _maybe_compact(out, ctx)
 
 
+def _seg_sum128(vals, slot, vmask, capacity):
+    """Exact int128 segment sum of int64 or packed-int128 addends."""
+    if vals.ndim == 2:
+        return I128.seg_sum128_from_i128(vals, slot, vmask, capacity)
+    return I128.seg_sum128_from_i64(vals, slot, vmask, capacity)
+
+
+def _g_sum128(vals, mask):
+    if vals.ndim == 2:
+        return I128.g_sum128_from_i128(vals, mask)
+    return I128.g_sum128_from_i64(vals, mask)
+
+
 def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
     mask = chunk.mask & (slot >= 0)
     if spec.func == "count_star":
@@ -693,15 +727,24 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
         return DCol(T.BIGINT, PLAIN, A.seg_count(slot, vmask, capacity),
                     validity=gvalid)
     if spec.func == "sum":
-        s = A.seg_sum(vals, slot, vmask, capacity, jnp.int64)
         nonempty = A.seg_count(slot, vmask, capacity) > 0
+        if T.is_long_decimal(ot):
+            # DECIMAL sums accumulate in int128 like the reference
+            # (LongDecimalWithOverflowState) — int64 wraps at scale
+            hi, lo = _seg_sum128(vals, slot, vmask, capacity)
+            return DCol(ot, PLAIN, I128.pack(hi, lo),
+                        validity=gvalid & nonempty)
+        s = A.seg_sum(vals, slot, vmask, capacity, jnp.int64)
         return DCol(ot, PLAIN, s, validity=gvalid & nonempty)
     if spec.func == "avg":
-        s = A.seg_sum(vals, slot, vmask, capacity, jnp.int64)
         cnt = A.seg_count(slot, vmask, capacity)
         if T.is_decimal(c.dtype):
-            v = DEC.div_round_half_up(s, jnp.maximum(cnt, 1))
+            hi, lo = _seg_sum128(vals, slot, vmask, capacity)
+            qhi, qlo = I128.div_round_half_up(
+                hi, lo, *I128.from_i64(jnp.maximum(cnt, 1)))
+            v = I128.pack(qhi, qlo) if T.is_long_decimal(ot) else qlo
         else:
+            s = A.seg_sum(vals, slot, vmask, capacity, jnp.int64)
             v = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
         return DCol(ot, PLAIN, v, validity=gvalid & (cnt > 0))
     if spec.func in VARIANCE_FUNCS:
@@ -753,9 +796,11 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
         widx = perm[jnp.minimum(offs + idx_in, chunk.n_rows - 1)]
         return c.take(widx, valid=gvalid & (cnt > 0))
     if spec.func in ("min", "arbitrary", "any_value"):
-        v = A.seg_min(vals, slot, vmask, capacity)
+        v = (I128.pack(*I128.seg_min128(vals, slot, vmask, capacity))
+             if vals.ndim == 2 else A.seg_min(vals, slot, vmask, capacity))
     elif spec.func == "max":
-        v = A.seg_max(vals, slot, vmask, capacity)
+        v = (I128.pack(*I128.seg_max128(vals, slot, vmask, capacity))
+             if vals.ndim == 2 else A.seg_max(vals, slot, vmask, capacity))
     else:
         raise NotImplementedError(spec.func)
     nonempty = A.seg_count(slot, vmask, capacity) > 0
@@ -810,21 +855,32 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
             if spec.func == "count":
                 out[spec.name] = DCol(T.BIGINT, PLAIN, A.g_count(m)[None])
             elif spec.func == "sum":
-                out[spec.name] = DCol(ot, PLAIN, A.g_sum(c.values, m, jnp.int64)[None],
-                                      validity=nonempty[None])
+                if T.is_long_decimal(ot):
+                    v = I128.pack(*_g_sum128(c.values, m))[None]
+                else:
+                    v = A.g_sum(c.values, m, jnp.int64)[None]
+                out[spec.name] = DCol(ot, PLAIN, v, validity=nonempty[None])
             elif spec.func == "avg":
-                s = A.g_sum(c.values, m, jnp.int64)
                 cnt = jnp.maximum(A.g_count(m), 1)
                 if T.is_decimal(c.dtype):
-                    v = DEC.div_round_half_up(s[None], cnt)
+                    hi, lo = _g_sum128(c.values, m)
+                    qhi, qlo = I128.div_round_half_up(
+                        hi[None], lo[None], *I128.from_i64(cnt[None]))
+                    v = (I128.pack(qhi, qlo)
+                         if T.is_long_decimal(ot) else qlo)
                 else:
+                    s = A.g_sum(c.values, m, jnp.int64)
                     v = (s.astype(jnp.float64) / cnt)[None]
                 out[spec.name] = DCol(ot, PLAIN, v, validity=nonempty[None])
             elif spec.func == "min":
-                out[spec.name] = DCol(ot, PLAIN, A.g_min(c.values, m)[None],
+                v = (I128.pack(*I128.g_min128(c.values, m))
+                     if c.values.ndim == 2 else A.g_min(c.values, m))
+                out[spec.name] = DCol(ot, PLAIN, v[None],
                                       validity=nonempty[None])
             elif spec.func == "max":
-                out[spec.name] = DCol(ot, PLAIN, A.g_max(c.values, m)[None],
+                v = (I128.pack(*I128.g_max128(c.values, m))
+                     if c.values.ndim == 2 else A.g_max(c.values, m))
+                out[spec.name] = DCol(ot, PLAIN, v[None],
                                       validity=nonempty[None])
             elif spec.func in ("min_by", "max_by"):
                 k = eval_expr(spec.arg2, chunk)

@@ -42,6 +42,7 @@ from ..exec.expreval import eval_expr, eval_predicate, _scale_of
 from ..ops import agg as A
 from ..ops import decimal as DEC
 from ..ops import hashtable as HT
+from ..ops import int128 as I128
 from ..ops import sort as SORT
 from ..ops.hashing import hash_keys
 from ..sql import ir
@@ -340,8 +341,9 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
             (cname, c), = sc.cols.items()
             v = c.values[0]
             valid = c.valid_or_true()[0] & sc.mask[0]
+            shape = (n, 2) if v.ndim == 1 else (n,)
             cols[name] = DCol(c.dtype, PLAIN,
-                              jnp.broadcast_to(v, (n,)),
+                              jnp.broadcast_to(v, shape),
                               validity=jnp.broadcast_to(valid, (n,)))
         return Chunk(cols, child.mask), rep
     raise NotImplementedError(
@@ -471,6 +473,10 @@ def _try_chain_walk_join_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
         return None
     if any(s.func == "avg" for s in plan.aggs):
         return None
+    if any(s.arg is not None and T.is_long_decimal(s.arg.dtype)
+           for s in plan.aggs):
+        return None  # chain-walk accumulators are int64; long decimals
+        # take the expansion path (their sums need int128 state)
     payload_names = {o for o, _ in join.build_payload}
     for _, e in plan.groups:
         if set(ir.referenced_columns(e)) & payload_names:
@@ -712,6 +718,68 @@ _WHOLE_GROUP_FUNCS = frozenset(
     | PH.VARIANCE_FUNCS)
 
 
+def partial_agg_states(plan: PH.PhysHashAggregate, child: Chunk,
+                       capacity: int):
+    """PARTIAL step: local group table + mergeable state columns.
+
+    Shared by the distributed partial→final split and the streaming
+    (slice-at-a-time) single-host path.  Returns
+    (partial_chunk, [(state_name, merge_func)], overflow)."""
+    group_exprs = tuple(e for _, e in plan.groups)
+    owner, slot, p_ovf = PH._insert_kernel(child, group_exprs, capacity)
+    gvalid = owner != HT.EMPTY
+    rep = jnp.minimum(owner, child.n_rows - 1)
+    part_cols: Dict[str, DCol] = {}
+    for name, e in plan.groups:
+        part_cols[name] = eval_expr(e, child).take(rep, valid=gvalid)
+    state_specs = []  # (state_name, merge_func)
+    for spec in plan.aggs:
+        for sname, sfunc, scol in _partial_states(spec, child, slot,
+                                                  capacity, gvalid):
+            part_cols[sname] = scol
+            state_specs.append((sname, sfunc))
+    return Chunk(part_cols, gvalid), state_specs, p_ovf
+
+
+def merge_agg_states(plan: PH.PhysHashAggregate, partials: Chunk,
+                     state_specs, capacity: int):
+    """FINAL step over accumulated partial states (no collectives):
+    re-group on the group columns, merge each state by its function,
+    finalize.  Returns (chunk, overflow)."""
+    gkeys = tuple(ir.ColumnRef(n, e.dtype) for n, e in plan.groups)
+    owner2, slot2, f_ovf = PH._insert_kernel(partials, gkeys, capacity)
+    gvalid2 = owner2 != HT.EMPTY
+    rep2 = jnp.minimum(owner2, partials.n_rows - 1)
+    out_cols: Dict[str, DCol] = {}
+    for name, _ in plan.groups:
+        out_cols[name] = partials.cols[name].take(rep2, valid=gvalid2)
+    merged: Dict[str, DCol] = {}
+    for sname, sfunc in state_specs:
+        c = partials.cols[sname]
+        m = partials.mask & (slot2 >= 0) & c.valid_or_true()
+        if sfunc == "sum":
+            if c.values.ndim == 2:
+                v = I128.pack(*I128.seg_sum128_from_i128(
+                    c.values, slot2, m, capacity))
+            else:
+                v = A.seg_sum(c.values, slot2, m, capacity, jnp.int64)
+        elif sfunc == "min":
+            v = (I128.pack(*I128.seg_min128(c.values, slot2, m, capacity))
+                 if c.values.ndim == 2
+                 else A.seg_min(c.values, slot2, m, capacity))
+        else:
+            v = (I128.pack(*I128.seg_max128(c.values, slot2, m, capacity))
+                 if c.values.ndim == 2
+                 else A.seg_max(c.values, slot2, m, capacity))
+        nonempty = A.seg_count(slot2, m, capacity) > 0
+        merged[sname] = DCol(c.dtype, c.kind, v,
+                             validity=gvalid2 & nonempty,
+                             dictionary=c.dictionary)
+    for spec in plan.aggs:
+        out_cols[spec.name] = _finalize_agg(spec, merged)
+    return Chunk(out_cols, gvalid2), f_ovf
+
+
 def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
                               ctx: TraceCtx, key_node=None):
     key_node = key_node if key_node is not None else plan
@@ -740,21 +808,8 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
                    HT.next_pow2(2 * child.n_rows))
 
     # PARTIAL: local groups + state columns
-    group_exprs = tuple(e for _, e in plan.groups)
-    owner, slot, p_ovf = PH._insert_kernel(child, group_exprs, capacity)
+    partial, state_specs, p_ovf = partial_agg_states(plan, child, capacity)
     ctx.report_overflow(key_node, "partial", p_ovf)
-    gvalid = owner != HT.EMPTY
-    rep = jnp.minimum(owner, child.n_rows - 1)
-    part_cols: Dict[str, DCol] = {}
-    for name, e in plan.groups:
-        part_cols[name] = eval_expr(e, child).take(rep, valid=gvalid)
-    state_specs = []  # (state_name, merge_func, out spec)
-    for spec in plan.aggs:
-        for sname, sfunc, scol in _partial_states(spec, child, slot,
-                                                  capacity, gvalid):
-            part_cols[sname] = scol
-            state_specs.append((sname, sfunc))
-    partial = Chunk(part_cols, gvalid)
 
     # EXCHANGE (FIXED_HASH): route partial states by group-key hash so every
     # group's partials land on exactly one device — the reference's
@@ -775,30 +830,9 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
     fcapacity = min(max(64, HT.capacity_for(plan.ndv_hint // nd + 1)) * fmult,
                     ctx.agg_cap_limit * 2 * fmult,
                     HT.next_pow2(2 * routed.n_rows))
-    owner2, slot2, f_ovf = PH._insert_kernel(routed, gkeys, fcapacity)
+    out, f_ovf = merge_agg_states(plan, routed, state_specs, fcapacity)
     ctx.report_overflow(key_node, "final", f_ovf)
-    gvalid2 = owner2 != HT.EMPTY
-    rep2 = jnp.minimum(owner2, routed.n_rows - 1)
-    out_cols: Dict[str, DCol] = {}
-    for name, e in plan.groups:
-        out_cols[name] = routed.cols[name].take(rep2, valid=gvalid2)
-    merged: Dict[str, DCol] = {}
-    for sname, sfunc in state_specs:
-        c = routed.cols[sname]
-        m = routed.mask & (slot2 >= 0) & c.valid_or_true()
-        if sfunc == "sum":
-            v = A.seg_sum(c.values, slot2, m, fcapacity, jnp.int64)
-        elif sfunc == "min":
-            v = A.seg_min(c.values, slot2, m, fcapacity)
-        else:
-            v = A.seg_max(c.values, slot2, m, fcapacity)
-        nonempty = A.seg_count(slot2, m, fcapacity) > 0
-        merged[sname] = DCol(c.dtype, c.kind, v,
-                             validity=gvalid2 & nonempty,
-                             dictionary=c.dictionary)
-    for spec in plan.aggs:
-        out_cols[spec.name] = _finalize_agg(spec, merged)
-    return Chunk(out_cols, gvalid2), False
+    return out, False
 
 
 def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk,
@@ -861,7 +895,17 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
     c = eval_expr(spec.arg, chunk)
     vmask = mask & c.valid_or_true()
     if spec.func in ("sum", "avg"):
-        s = A.seg_sum(c.values, slot, vmask, capacity, jnp.int64)
+        if T.is_decimal(c.dtype):
+            # int128 partial accumulation (reference:
+            # LongDecimalWithOverflowState) — int64 wraps at scale
+            if c.values.ndim == 2:
+                s = I128.pack(*I128.seg_sum128_from_i128(
+                    c.values, slot, vmask, capacity))
+            else:
+                s = I128.pack(*I128.seg_sum128_from_i64(
+                    c.values, slot, vmask, capacity))
+        else:
+            s = A.seg_sum(c.values, slot, vmask, capacity, jnp.int64)
         nonempty = A.seg_count(slot, vmask, capacity) > 0
         out.append((f"{spec.name}#sum", "sum",
                     DCol(T.decimal(38, _scale_of(c.dtype)), PLAIN, s,
@@ -871,13 +915,17 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
         out.append((f"{spec.name}#cnt", "sum",
                     DCol(T.BIGINT, PLAIN, cnt, validity=gvalid)))
     if spec.func == "min":
-        v = A.seg_min(c.values, slot, vmask, capacity)
+        v = (I128.pack(*I128.seg_min128(c.values, slot, vmask, capacity))
+             if c.values.ndim == 2
+             else A.seg_min(c.values, slot, vmask, capacity))
         nonempty = A.seg_count(slot, vmask, capacity) > 0
         out.append((f"{spec.name}#min", "min",
                     DCol(c.dtype, c.kind, v, validity=gvalid & nonempty,
                          dictionary=c.dictionary)))
     if spec.func == "max":
-        v = A.seg_max(c.values, slot, vmask, capacity)
+        v = (I128.pack(*I128.seg_max128(c.values, slot, vmask, capacity))
+             if c.values.ndim == 2
+             else A.seg_max(c.values, slot, vmask, capacity))
         nonempty = A.seg_count(slot, vmask, capacity) > 0
         out.append((f"{spec.name}#max", "max",
                     DCol(c.dtype, c.kind, v, validity=gvalid & nonempty,
@@ -897,7 +945,10 @@ def _finalize_agg(spec: PH.AggSpec, merged: Dict[str, DCol]) -> DCol:
         s = merged[f"{spec.name}#sum"]
         n = merged[f"{spec.name}#cnt"]
         if T.is_decimal(spec.arg.dtype):
-            v = DEC.div_round_half_up(s.values, jnp.maximum(n.values, 1))
+            qhi, qlo = I128.div_round_half_up(
+                *I128.unpack(s.values),
+                *I128.from_i64(jnp.maximum(n.values, 1)))
+            v = I128.pack(qhi, qlo) if T.is_long_decimal(ot) else qlo
         else:
             v = s.values.astype(jnp.float64) / jnp.maximum(n.values, 1)
         return DCol(ot, PLAIN, v, validity=s.validity)
@@ -927,12 +978,16 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
     for spec in plan.aggs:
         c = gathered.cols[spec.name]
         m = gathered.mask & c.valid_or_true()
-        if spec.func in ("count", "count_star", "sum"):
+        if spec.func == "sum" and c.values.ndim == 2:
+            v = I128.pack(*I128.g_sum128_from_i128(c.values, m))[None]
+        elif spec.func in ("count", "count_star", "sum"):
             v = A.g_sum(c.values, m, c.values.dtype)[None]
         elif spec.func == "min":
-            v = A.g_min(c.values, m)[None]
+            v = (I128.pack(*I128.g_min128(c.values, m))
+                 if c.values.ndim == 2 else A.g_min(c.values, m))[None]
         elif spec.func == "max":
-            v = A.g_max(c.values, m)[None]
+            v = (I128.pack(*I128.g_max128(c.values, m))
+                 if c.values.ndim == 2 else A.g_max(c.values, m))[None]
         elif spec.func == "avg":
             continue  # handled below from partial sum/count
         out[spec.name] = DCol(c.dtype, PLAIN, v,
@@ -943,7 +998,8 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
         ot = PH._agg_output_type(spec)
         cnt = jnp.maximum(scnt.values, 1)
         if T.is_decimal(spec.arg.dtype):
-            v = DEC.div_round_half_up(ssum.values, cnt)
+            _, v = I128.div_round_half_up(*I128.unpack(ssum.values),
+                                          *I128.from_i64(cnt))
         else:
             v = ssum.values.astype(jnp.float64) / cnt
         out[spec.name] = DCol(ot, PLAIN, v, validity=scnt.values > 0)
