@@ -108,6 +108,13 @@ class ClusterSupervisor:
     def kill_worker(self, i: int):
         self.workers[i].kill()
 
+    def shutdown(self):
+        """Stop all heartbeat threads (GracefulShutdownHandler analogue)."""
+        for w in self.workers:
+            w.kill()
+        for w in self.workers:
+            w._thread.join(timeout=1.0)
+
     def _runner_for(self, n: int) -> DistributedRunner:
         r = self._runners.get(n)
         if r is None:

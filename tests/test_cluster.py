@@ -34,9 +34,18 @@ def _wait_dead(sup, wid, timeout=5.0):
         time.sleep(0.02)
 
 
-def test_worker_death_mid_query_replays_on_survivors(expected):
+@pytest.fixture()
+def supervisors():
+    sups = []
+    yield sups
+    for s in sups:
+        s.shutdown()
+
+
+def test_worker_death_mid_query_replays_on_survivors(expected, supervisors):
     sup = ClusterSupervisor(SF, n_workers=8, min_workers=2,
                             broadcast_row_limit=3000)
+    supervisors.append(sup)
     state = {"killed": False}
 
     def kill_mid_query(participants):
@@ -56,34 +65,38 @@ def test_worker_death_mid_query_replays_on_survivors(expected):
     assert 7 in sup._runners and sup._runners[7].nd == 7
 
 
-def test_healthy_cluster_single_attempt(expected):
+def test_healthy_cluster_single_attempt(expected, supervisors):
     sup = ClusterSupervisor(SF, n_workers=8, min_workers=2)
+    supervisors.append(sup)
     got = _norm(sup.run_sql(Q).to_pandas())
     assert got == expected
     assert sup.attempts == 1 and sup.restarts == 0
 
 
-def test_admission_gate_blocks_below_min_workers():
+def test_admission_gate_blocks_below_min_workers(supervisors):
     sup = ClusterSupervisor(SF, n_workers=3, min_workers=3,
                             heartbeat_timeout_s=0.2,
                             admission_timeout_s=0.5)
+    supervisors.append(sup)
     sup.kill_worker(0)
     _wait_dead(sup, "worker-0", timeout=2.0)
     with pytest.raises(RuntimeError, match="min_workers"):
         sup.run_sql(Q)
 
 
-def test_user_error_is_not_retried():
+def test_user_error_is_not_retried(supervisors):
     sup = ClusterSupervisor(SF, n_workers=4, min_workers=1)
+    supervisors.append(sup)
     with pytest.raises(Exception) as ei:
         sup.run_sql("select nope from nowhere")
     assert not isinstance(ei.value, WorkerLostError)
     assert sup.attempts == 1, "user errors must not replay"
 
 
-def test_repeated_deaths_exhaust_attempts(expected):
+def test_repeated_deaths_exhaust_attempts(expected, supervisors):
     sup = ClusterSupervisor(SF, n_workers=8, min_workers=1, max_attempts=2,
                             broadcast_row_limit=3000)
+    supervisors.append(sup)
     state = {"n": 0}
 
     def always_kill(participants):
@@ -97,10 +110,11 @@ def test_repeated_deaths_exhaust_attempts(expected):
     assert sup.attempts == 2 and sup.restarts == 2
 
 
-def test_tpch_q5_survives_death(expected):
+def test_tpch_q5_survives_death(expected, supervisors):
     """A partitioned multi-join query replays correctly too."""
     sup = ClusterSupervisor(SF, n_workers=8, min_workers=2,
                             broadcast_row_limit=3000)
+    supervisors.append(sup)
     exp = _norm(LocalRunner(scale_factor=SF).run_sql(QUERIES[5]).to_pandas())
     state = {"killed": False}
 
