@@ -122,6 +122,9 @@ class Connection:
                  config: Optional[EngineConfig] = None):
         self.session = session or Session(schema=schema)
         self.config = config or EngineConfig()
+        if self.config.pallas_kernels:
+            from ..ops import pallas_kernels as PK
+            PK.configure("on")
         self._runner = LocalRunner(schema=self.session.schema,
                                    scale_factor=scale_factor)
         self._queries: List[QueryInfo] = []

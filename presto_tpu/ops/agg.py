@@ -178,6 +178,12 @@ def seg_any(flags, group, mask, capacity):
 
 def g_sum(values, mask, dtype=None):
     dtype = dtype or values.dtype
+    from . import pallas_kernels as PK
+    if (PK.enabled() and values.ndim == 1
+            and jnp.issubdtype(values.dtype, jnp.integer)
+            and jnp.dtype(dtype) == jnp.dtype(jnp.int64)
+            and values.shape[0] >= PK.BLOCK):
+        return PK.masked_sum(values, mask, interpret=PK._interpret())
     return jnp.sum(jnp.where(mask, values, 0).astype(dtype))
 
 

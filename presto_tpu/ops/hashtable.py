@@ -120,6 +120,20 @@ def lookup(table_owner: jnp.ndarray, build_keys: Sequence[jnp.ndarray],
     capacity = table_owner.shape[0]
     n_build = build_keys[0].shape[0]
     h = (hash_keys(probe_keys) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+    # Pallas tier: single integer key + table small enough to pin in VMEM
+    # (owner + key lo/hi words resident across the whole probe stream).
+    from . import pallas_kernels as PK
+    if (PK.enabled() and len(build_keys) == 1
+            and build_keys[0].ndim == 1
+            and jnp.issubdtype(build_keys[0].dtype, jnp.integer)
+            and PK.LANES <= capacity <= PK.MAX_VMEM_TABLE_SLOTS):
+        slot_keys = build_keys[0][jnp.minimum(table_owner, n_build - 1)]
+        res = PK.hash_probe(table_owner, slot_keys,
+                            probe_keys[0].astype(jnp.int64), h,
+                            interpret=PK._interpret())
+        return jnp.where(probe_mask, res, jnp.int32(-1))
+
     max_rounds = jnp.int32(capacity + 1)  # full sweep ⇒ key definitely absent
 
     def cond(state):

@@ -12,13 +12,16 @@ the paths where explicit VMEM control wins:
                       VPU is natively 32-bit — the same reasoning as the
                       reference's byte-prefix filter in PagesHash.java:50)
 
-They are validated in interpreter mode on CPU and benchmarked on hardware;
-the engine uses them behind ``EngineConfig`` flags (off by default until
-hardware-validated per round).
+The engine dispatches to them from ``ops/hashtable.lookup`` and
+``ops/agg.g_sum`` when the tier is enabled — via
+``EngineConfig.pallas_kernels`` (client API), ``configure()`` directly, or
+the ``PRESTO_TPU_PALLAS`` env var (``on`` requires a TPU backend;
+``interpret`` exercises the same dispatch on CPU for tests).
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -30,6 +33,33 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 BLOCK = 8 * 1024  # rows per grid step
+
+# VMEM is ~16 MB/core: cap resident probe tables well below it
+# (owner + klo + khi = 12 B/slot plus blocked probe buffers).
+MAX_VMEM_TABLE_SLOTS = 1 << 19
+
+_MODE = os.environ.get("PRESTO_TPU_PALLAS", "off").lower()
+
+
+def configure(mode) -> None:
+    """'off' | 'on' (TPU hardware) | 'interpret' (CPU, for tests).
+    Booleans map to on/off."""
+    global _MODE
+    if isinstance(mode, bool):
+        mode = "on" if mode else "off"
+    if mode not in ("off", "on", "interpret"):
+        raise ValueError(f"pallas mode {mode!r}")
+    _MODE = mode
+
+
+def enabled() -> bool:
+    if _MODE == "interpret":
+        return True
+    return _MODE == "on" and jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return _MODE == "interpret"
 
 
 def _pad_to(x, n, fill=0):
@@ -105,7 +135,7 @@ def _probe_kernel(owner_ref, klo_ref, khi_ref, plo_ref, phi_ref,
         eq = (gather(klo_ref, slot) == plo_ref[:]) & \
              (gather(khi_ref, slot) == phi_ref[:])
         found = pending & ~empty & eq
-        result = jnp.where(found, occ, result)
+        result = jnp.where(found, slot, result)
         pending = pending & ~found & ~empty
         slot = jnp.where(pending, (slot + 1) % cap, slot)
         return slot, result, pending, rounds + 1
@@ -126,7 +156,8 @@ def hash_probe(owner: jnp.ndarray, build_keys: jnp.ndarray,
 
     owner: int32 [capacity] (EMPTY = 2^31-1); build_keys: int64 [capacity]
     holding each slot's key (EMPTY slots arbitrary); probe_hash: int32 [N]
-    precomputed slot of each probe key.  Returns int32 [N] build row or -1.
+    precomputed start slot of each probe key.  Returns int32 [N]: the SLOT
+    holding the key, or -1 (same contract as ``hashtable.lookup``).
     """
     cap = owner.shape[0]
     n = probe_keys.shape[0]

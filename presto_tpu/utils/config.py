@@ -29,6 +29,9 @@ class EngineConfig:
     max_partial_agg_capacity: int = 1 << 20
     # text pool
     text_pool_bytes: int = 8 * 1024 * 1024
+    # kernels: dispatch hot probes/reductions to the Pallas VMEM tier
+    # (ops/pallas_kernels.py); requires a TPU backend at query time
+    pallas_kernels: bool = False
 
     @classmethod
     def from_properties(cls, props: Dict[str, str]) -> "EngineConfig":

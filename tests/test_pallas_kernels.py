@@ -35,9 +35,51 @@ def test_hash_probe_matches_xla_path():
     got = np.asarray(PK.hash_probe(
         owner, jnp.asarray(slot_keys), jnp.asarray(probe), jnp.asarray(h),
         interpret=True))
-    build_pos = {int(k): i for i, k in enumerate(build)}
+    # contract: returns the SLOT of the key (hashtable.lookup semantics)
+    slot_np = np.asarray(slot_of_row)
+    build_slot = {int(k): int(slot_np[i]) for i, k in enumerate(build)}
     for p, g in zip(probe, got):
-        if int(p) in build_pos:
-            assert g == build_pos[int(p)], (p, g)
-        else:
-            assert g == -1
+        assert g == build_slot.get(int(p), -1), (p, g)
+
+
+@pytest.fixture
+def pallas_interpret():
+    PK.configure("interpret")
+    yield
+    PK.configure("off")
+
+
+def test_lookup_dispatches_to_pallas(pallas_interpret):
+    """hashtable.lookup dispatches to the VMEM kernel when the tier is on
+    (single int key, table within VMEM budget) and agrees with the XLA
+    fixpoint path."""
+    rng = np.random.default_rng(2)
+    build = jnp.asarray(rng.choice(10**5, size=700, replace=False)
+                        .astype(np.int64))
+    probe = jnp.asarray(rng.integers(0, 10**5, size=3000).astype(np.int64))
+    mask = jnp.asarray(rng.random(3000) < 0.9)
+    cap = HT.capacity_for(700)
+    owner, _, _ = HT.insert([build], jnp.ones(700, bool), cap)
+    got = np.asarray(HT.lookup(owner, [build], [probe], mask))
+    PK.configure("off")
+    want = np.asarray(HT.lookup(owner, [build], [probe], mask))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_query_results_identical_with_pallas_tier(pallas_interpret):
+    """End-to-end: a join + a selective global agg produce identical results
+    with the Pallas tier enabled (exercises lookup + g_sum dispatch)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from presto_tpu.exec.runner import LocalRunner
+    from presto_tpu.tpch.queries import QUERIES
+
+    r = LocalRunner(scale_factor=0.01)
+    q6 = r.run_sql(QUERIES[6])
+    q4 = r.run_sql(QUERIES[4])
+    PK.configure("off")
+    r2 = LocalRunner(scale_factor=0.01)
+    assert [c.to_pylist() for c in q6.columns.values()] == \
+        [c.to_pylist() for c in r2.run_sql(QUERIES[6]).columns.values()]
+    assert [c.to_pylist() for c in q4.columns.values()] == \
+        [c.to_pylist() for c in r2.run_sql(QUERIES[4]).columns.values()]
