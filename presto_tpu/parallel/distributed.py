@@ -1145,9 +1145,10 @@ class DistributedRunner:
         from ..sql.planner.distribution import add_exchanges
         from ..sql.planner.planner import Planner
         from ..sql.planner.pruning import prune
+        from ..sql.planner.rules import optimize
         plan = self._plan_cache.get(sql)
         if plan is None:
-            plan = prune(Planner(self.sf).plan(parse(sql)), None)
+            plan = prune(optimize(Planner(self.sf).plan(parse(sql))), None)
             add_exchanges(plan, self.broadcast_row_limit)
             self._plan_cache[sql] = plan
         return self.run_physical(plan)
