@@ -479,6 +479,29 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
     pe = W.peer_ends(peer_start) if has_order else None
     n = chunk.n_rows
     out_cols = dict(chunk.cols)
+
+    def frame_lo_hi(frame):
+        if frame[0] == "rows":
+            return W.frame_bounds(part_start, frame)
+        # RANGE: value offsets over the single numeric ORDER BY key
+        if len(plan.order) != 1:
+            raise NotImplementedError(
+                "RANGE frames require exactly one ORDER BY key")
+        oexpr, desc = plan.order[0]
+        oc = eval_expr(oexpr, chunk)
+        if oc.values.ndim != 1 or not jnp.issubdtype(
+                oc.values.dtype, jnp.integer):
+            raise NotImplementedError(
+                "RANGE frames require an integer-valued order key")
+        scale = 10 ** _scale_of(oc.dtype) if T.is_decimal(oc.dtype) else 1
+
+        def scaled(spec):
+            which, k = spec
+            return (which, int(k) * scale)
+
+        return W.range_frame_bounds(
+            part_start, peer_start, oc.values[perm],
+            (frame[0], scaled(frame[1]), scaled(frame[2])), desc)
     for spec in plan.functions:
         if spec.func == "row_number":
             res, valid = W.row_number(part_start), None
@@ -540,7 +563,7 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
                 vmask = smask & c.valid_or_true()[perm]
                 adt = c.dtype
             if spec.frame is not None:
-                lo, hi = W.frame_bounds(part_start, spec.frame)
+                lo, hi = frame_lo_hi(spec.frame)
                 rsum = W.framed_sum(vals, vmask, lo, hi)
                 rcnt = W.framed_sum(vmask.astype(jnp.int64), smask, lo, hi)
             elif has_order:
@@ -571,9 +594,9 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
                         raise NotImplementedError(
                             "min/max frames must start UNBOUNDED PRECEDING")
                     run = W.segmented_cummin(guarded, part_start, maximum=mxm)
-                    _, hi = W.frame_bounds(part_start, spec.frame)
+                    lo2, hi = frame_lo_hi(spec.frame)
                     res = run[jnp.clip(hi, 0, n - 1)]
-                    valid = hi >= W.frame_bounds(part_start, spec.frame)[0]
+                    valid = hi >= lo2
                 elif has_order:
                     run = W.segmented_cummin(guarded, part_start, maximum=mxm)
                     res = run[pe]

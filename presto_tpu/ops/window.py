@@ -163,6 +163,61 @@ def frame_bounds(part_start: jnp.ndarray, frame) -> Tuple[jnp.ndarray, jnp.ndarr
     return lo, hi
 
 
+def _first_geq(sorted_vals: jnp.ndarray, lo0: jnp.ndarray,
+               hi0: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-row vectorized binary search: first index j in [lo0, hi0] with
+    sorted_vals[j] >= target (hi0+1 if none).  sorted_vals must be
+    non-decreasing inside each [lo0, hi0] range."""
+    n = sorted_vals.shape[0]
+    lo = lo0
+    hi = hi0 + 1
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        mid_c = jnp.clip(mid, 0, n - 1)
+        geq = (sorted_vals[mid_c] >= target) & (mid < hi)
+        hi = jnp.where(geq, mid, hi)
+        lo = jnp.where(geq | (lo >= hi), lo, jnp.minimum(mid + 1, hi))
+    return lo
+
+
+def range_frame_bounds(part_start: jnp.ndarray, peer_start: jnp.ndarray,
+                       order_vals: jnp.ndarray, frame,
+                       descending: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[lo, hi] sorted-position bounds of a RANGE (value-offset) frame.
+
+    The reference's RANGE framing (``operator/window/FrameInfo.java`` +
+    PagesWindowIndex value comparisons) done as per-row binary searches over
+    the partition's sorted order values: k PRECEDING/FOLLOWING are value
+    offsets from the current row's order key, CURRENT ROW spans the peer
+    run.  A descending order key is negated so one ascending search serves
+    both directions."""
+    n = part_start.shape[0]
+    part_end = peer_ends(part_start)
+    v = (-order_vals if descending else order_vals).astype(jnp.int64)
+    pe = peer_ends(peer_start)
+
+    def edge(spec, is_start):
+        which, k = spec
+        if which == "unbounded_preceding":
+            return part_start
+        if which == "unbounded_following":
+            return part_end
+        if which == "current":
+            return peer_start if is_start else pe
+        delta = -k if which == "preceding" else k
+        target = v + delta
+        if is_start:
+            # first position with value >= target
+            return _first_geq(v, part_start, part_end, target)
+        # last position with value <= target = (first > target) - 1
+        return _first_geq(v, part_start, part_end, target + 1) - 1
+
+    lo = jnp.maximum(edge(frame[1], True), part_start)
+    hi = jnp.minimum(edge(frame[2], False), part_end)
+    return lo, hi
+
+
 def framed_sum(values: jnp.ndarray, mask: jnp.ndarray,
                lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     """sum over sorted positions [lo, hi] via prefix sums (exact: clamped

@@ -553,8 +553,6 @@ def _install_window_parsing():
         frame = None
         if self.at_kw("rows", "range"):
             kind = self.next().value
-            if kind == "range":
-                raise NotImplementedError("explicit RANGE frames")
 
             def bound():
                 if self.accept("kw", "unbounded"):

@@ -112,3 +112,60 @@ def test_rows_frames(runner):
         .astype(np.int64).tolist()
     assert got.mn.tolist() == g.cummin().tolist()
     assert got.mx.tolist() == g.cummax().tolist()
+
+
+def test_range_frames_value_offsets(runner):
+    """RANGE BETWEEN k PRECEDING AND CURRENT ROW / k FOLLOWING over an
+    integer order key, asc and desc, vs a brute-force oracle."""
+    sql = """
+    select o_orderkey, o_custkey, o_orderdate, o_totalprice,
+      sum(o_totalprice) over (partition by o_custkey order by o_orderdate
+         range between 90 preceding and current row) s_back,
+      count(*) over (partition by o_custkey order by o_orderdate
+         range between 30 preceding and 30 following) c_win,
+      sum(o_totalprice) over (partition by o_custkey order by o_orderdate desc
+         range between 90 preceding and current row) s_desc
+    from orders where o_custkey <= 40
+    """
+    got = runner.run_sql(sql).to_pandas().sort_values(
+        ["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    o = odf()
+    d = o[o.o_custkey <= 40].sort_values(["o_custkey", "o_orderkey"]) \
+        .reset_index(drop=True)
+
+    def brute(row, lo_off, hi_off, desc=False):
+        part = d[d.o_custkey == row.o_custkey]
+        v = row.o_orderdate
+        if desc:  # k preceding on a DESC key = larger values
+            m = (part.o_orderdate <= v + lo_off) & (part.o_orderdate >= v)
+        else:
+            m = (part.o_orderdate >= v - lo_off) & (part.o_orderdate <= v + hi_off)
+        return part[m]
+
+    s_back = [int(brute(r, 90, 0).o_totalprice.sum()) for r in d.itertuples()]
+    c_win = [len(brute(r, 30, 30)) for r in d.itertuples()]
+    s_desc = [int(brute(r, 90, 0, desc=True).o_totalprice.sum())
+              for r in d.itertuples()]
+    assert got.s_back.astype(np.int64).tolist() == s_back
+    assert got.c_win.astype(np.int64).tolist() == c_win
+    assert got.s_desc.astype(np.int64).tolist() == s_desc
+
+
+def test_range_current_row_includes_peers(runner):
+    """Default-style RANGE CURRENT ROW spans the whole peer run (ties in
+    the order key), unlike ROWS CURRENT ROW."""
+    sql = """
+    select o_orderkey, o_orderpriority, o_totalprice,
+      sum(o_totalprice) over (order by o_orderpriority
+         range between current row and current row) peers_sum
+    from orders where o_custkey <= 10
+    """
+    got = runner.run_sql(sql).to_pandas()
+    o = odf()
+    d = o[o.o_custkey <= 10]
+    totals = d.groupby("o_orderpriority").o_totalprice.sum()
+    want = d.o_orderpriority.map(totals)
+    g = got.sort_values("o_orderkey").reset_index(drop=True)
+    e = d.sort_values("o_orderkey").reset_index(drop=True)
+    assert g.peers_sum.astype(np.int64).tolist() == \
+        want[e.index].astype(np.int64).tolist()
