@@ -1041,8 +1041,29 @@ def _join_expand(plan: PhysHashJoin, probe: Chunk, build: Chunk,
         return _maybe_compact(Chunk(dict(probe.cols), mask), ctx)
 
     eff = jnp.where(probe.mask & (cnt == 0), 1, cnt) if left_like else cnt
-    total = int(jnp.sum(jnp.where(probe.mask, eff, 0)))
+    total = int(jnp.sum(jnp.where(probe.mask, eff, 0)))  # host read: exact
     out_size = max(HT.next_pow2(max(total, 1)), 64)
+    out, _ = _join_expand_pairs(plan, probe, build, table, slot, cnt,
+                                out_size)
+    return _maybe_compact(out, ctx)
+
+
+def _join_expand_pairs(plan: PhysHashJoin, probe: Chunk, build: Chunk,
+                       table, slot, cnt, out_size: int):
+    """Expansion-join pair materialization with a STATIC output capacity.
+
+    Pure-traced core shared by the local path (which host-reads the exact
+    pair count between passes) and the distributed ``shard_map`` path
+    (which sizes ``out_size`` from planner estimates and retries on the
+    returned overflow flag — the two-pass count→materialize answer to the
+    reference's paged ``LookupJoinPageBuilder`` output,
+    ``operator/join/DefaultPageJoiner.java:63``).
+
+    Returns ``(chunk, overflow)`` — chunk is NOT compacted."""
+    left_like = plan.kind in ("left", "semi", "anti")
+    eff = jnp.where(probe.mask & (cnt == 0), 1, cnt) if left_like else cnt
+    total = jnp.sum(jnp.where(probe.mask, eff, 0))
+    overflow = total > out_size
     probe_row, build_row, valid, matched = HT.expand_matches(
         table, slot, jnp.where(probe.mask, cnt, 0), out_size,
         left=left_like, probe_mask=probe.mask)
@@ -1070,7 +1091,7 @@ def _join_expand(plan: PhysHashJoin, probe: Chunk, build: Chunk,
         hit = jnp.zeros((n_probe,), jnp.bool_).at[
             jnp.where(keep_pair, probe_row, n_probe)].max(True, mode="drop")
         mask = probe.mask & (hit if plan.kind == "semi" else ~hit)
-        return _maybe_compact(Chunk(dict(probe.cols), mask), ctx)
+        return Chunk(dict(probe.cols), mask), overflow
 
     if plan.kind == "left":
         # outer semantics with residual filter (reference:
@@ -1093,7 +1114,7 @@ def _join_expand(plan: PhysHashJoin, probe: Chunk, build: Chunk,
                 cols[name] = DCol(c.dtype, c.kind, c.values, c.lengths,
                                   c.valid_or_true() & ~null_extend,
                                   c.dictionary)
-            return _maybe_compact(Chunk(cols, mask), ctx)
-        return _maybe_compact(Chunk(pairs.cols, mask), ctx)
+            return Chunk(cols, mask), overflow
+        return Chunk(pairs.cols, mask), overflow
 
-    return _maybe_compact(Chunk(pairs.cols, keep_pair), ctx)
+    return Chunk(pairs.cols, keep_pair), overflow

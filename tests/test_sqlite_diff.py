@@ -116,3 +116,24 @@ def test_vs_sqlite(sql, runner, sqlite_db):
         if got.names else []
     exp_rows = sqlite_db.execute(sql).fetchall()
     assert _norm(got_rows) == _norm(exp_rows), sql
+
+
+@pytest.fixture(scope="module")
+def dist_runner():
+    import jax
+    from presto_tpu.parallel import distributed as D
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    return D.DistributedRunner(D.make_mesh(), SF)
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_vs_sqlite_distributed(sql, dist_runner, sqlite_db):
+    """The same battery through the 8-device mesh path (general joins —
+    expanding, filtered, outer — all execute inside the traced program)."""
+    engine_sql = ENGINE_REWRITE.get(sql, sql)
+    got = dist_runner.run_sql(engine_sql)
+    got_rows = list(zip(*[got.to_pydict()[n] for n in got.names])) \
+        if got.names else []
+    exp_rows = sqlite_db.execute(sql).fetchall()
+    assert _norm(got_rows) == _norm(exp_rows), sql

@@ -164,8 +164,8 @@ def test_range_current_row_includes_peers(runner):
     o = odf()
     d = o[o.o_custkey <= 10]
     totals = d.groupby("o_orderpriority").o_totalprice.sum()
-    want = d.o_orderpriority.map(totals)
     g = got.sort_values("o_orderkey").reset_index(drop=True)
     e = d.sort_values("o_orderkey").reset_index(drop=True)
+    want = e.o_orderpriority.map(totals)
     assert g.peers_sum.astype(np.int64).tolist() == \
-        want[e.index].astype(np.int64).tolist()
+        want.astype(np.int64).tolist()
