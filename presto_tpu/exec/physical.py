@@ -33,6 +33,7 @@ from ..data import types as T
 from ..data.column import PLAIN, DICT, BYTES
 from ..ops import agg as A
 from ..ops import hashtable as HT
+from ..ops import hll as HLL
 from ..ops import sort as SORT
 from ..ops import decimal as DEC
 from ..ops import int128 as I128
@@ -263,6 +264,13 @@ class ExecContext:
     stats: Dict[str, float] = field(default_factory=dict)
     collect_stats: bool = False             # EXPLAIN ANALYZE mode
     node_stats: Dict[int, dict] = field(default_factory=dict)
+    # operator-state budget (HBM tier): when a join/agg's working set
+    # would exceed the pool's remaining budget, execution switches to
+    # partition-at-a-time (the reference's GenericPartitioningSpiller +
+    # PartitionedConsumption shape, minus the disk — partitions that are
+    # not in flight simply aren't materialized)
+    pool: object = None                     # utils.memory.MemoryPool
+    spill_partitions: int = 0               # observability: partitioned runs
 
 
 def execute(plan: PhysOp, ctx: ExecContext) -> Chunk:
@@ -669,7 +677,7 @@ VARIANCE_FUNCS = {"stddev", "stddev_samp", "stddev_pop", "variance",
 
 
 def _agg_output_type(spec: AggSpec) -> T.DataType:
-    if spec.func in ("count", "count_star"):
+    if spec.func in ("count", "count_star", "approx_distinct"):
         return T.BIGINT
     if spec.func in VARIANCE_FUNCS:
         return T.DOUBLE
@@ -689,7 +697,48 @@ def _exec_agg(plan: PhysHashAggregate, ctx: ExecContext) -> Chunk:
     child = execute(plan.child, ctx)
     if not plan.groups:
         return _exec_global_agg(plan, child)
+    pool = getattr(ctx, "pool", None)
+    if pool is not None and pool.budget is not None:
+        from ..utils.memory import chunk_bytes
+        need = 3 * chunk_bytes(child)
+        avail = max(pool.budget - pool.used, 1)
+        if need > avail:
+            return _exec_agg_partitioned(
+                plan, child, ctx, min(max(2, HT.next_pow2(
+                    -(-need // avail))), 64))
+    return _agg_core(plan, child, ctx)
 
+
+def _exec_agg_partitioned(plan: PhysHashAggregate, child: Chunk,
+                          ctx: ExecContext, k: int) -> Chunk:
+    """Partition-at-a-time aggregation under memory pressure: rows
+    partition by GROUP-key hash (high bits), so every group lives in
+    exactly one partition and per-partition results concatenate with no
+    merge — the HBM-tier shape of the reference's
+    ``SpillableHashAggregationBuilder`` (spill by group-id hash, merge by
+    ``MergeHashSort``), with the merge designed away."""
+    from ..ops.hashing import hash_keys
+    bits = max(k.bit_length() - 1, 1)
+    gh = hash_keys(_key_arrays(child, tuple(e for _, e in plan.groups)))
+    part = (gh >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    ctx.spill_partitions += k
+    outs = []
+    for p in range(k):
+        sel = child.mask & (part == p)
+        cnt = int(jnp.sum(sel))
+        if cnt == 0:
+            continue
+        sub = _compact_kernel(Chunk(child.cols, sel),
+                              max(HT.next_pow2(cnt), 64))
+        outs.append(_agg_core(plan, sub, ctx))
+    if not outs:
+        sub = _compact_kernel(Chunk(child.cols, child.mask & False), 64)
+        return _agg_core(plan, sub, ctx)
+    return concat_chunks(outs)
+
+
+def _agg_core(plan: PhysHashAggregate, child: Chunk,
+              ctx: ExecContext) -> Chunk:
     group_exprs = tuple(e for _, e in plan.groups)
     capacity = max(64, HT.capacity_for(plan.ndv_hint))
     while True:
@@ -749,6 +798,11 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
     if spec.func == "count":
         return DCol(T.BIGINT, PLAIN, A.seg_count(slot, vmask, capacity),
                     validity=gvalid)
+    if spec.func == "approx_distinct":
+        from ..ops.hashing import hash_keys
+        h = hash_keys(_key_arrays(chunk, (spec.arg,)))
+        regs = HLL.group_state(h, slot, vmask, capacity)
+        return DCol(T.BIGINT, PLAIN, HLL.estimate(regs), validity=gvalid)
     if spec.func == "sum":
         nonempty = A.seg_count(slot, vmask, capacity) > 0
         if T.is_long_decimal(ot):
@@ -875,6 +929,16 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
             m = chunk.mask & c.valid_or_true()
             ot = _agg_output_type(spec)
             nonempty = A.g_count(m) > 0
+            if spec.func in ("approx_distinct", "hll_state"):
+                from ..ops.hashing import hash_keys
+                h = hash_keys(_key_arrays(chunk, (spec.arg,)))
+                regs = HLL.global_state(h, m)
+                # hll_state: raw registers [1, m] (distributed PARTIAL step
+                # — merged with elementwise max across devices)
+                v = (regs[None] if spec.func == "hll_state"
+                     else HLL.estimate(regs)[None])
+                out[spec.name] = DCol(T.BIGINT, PLAIN, v)
+                continue
             if spec.func == "count":
                 out[spec.name] = DCol(T.BIGINT, PLAIN, A.g_count(m)[None])
             elif spec.func == "sum":
@@ -961,6 +1025,14 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
 def _exec_join(plan: PhysHashJoin, ctx: ExecContext) -> Chunk:
     build = execute(plan.build, ctx)
     probe = execute(plan.probe, ctx)
+    k = _partition_count(plan, probe, build, ctx)
+    if k > 1:
+        return _exec_join_partitioned(plan, probe, build, ctx, k)
+    return _join_core(plan, probe, build, ctx)
+
+
+def _join_core(plan: PhysHashJoin, probe: Chunk, build: Chunk,
+               ctx: ExecContext) -> Chunk:
     build_count = int(jnp.sum(build.mask))
     capacity = HT.capacity_for(max(build_count, 1))
     table = _build_kernel(build, plan.build_keys, capacity)
@@ -970,6 +1042,65 @@ def _exec_join(plan: PhysHashJoin, ctx: ExecContext) -> Chunk:
     if fast_unique and plan.kind in ("inner", "left", "semi", "anti"):
         return _join_unique(plan, probe, build, table, ctx)
     return _join_expand(plan, probe, build, table, ctx)
+
+
+def _partition_count(plan: PhysHashJoin, probe: Chunk, build: Chunk,
+                     ctx: ExecContext) -> int:
+    """How many hash partitions the join needs to fit the memory budget
+    (1 = in-memory).  Working-set estimate: build table + CSR links ≈ 3×
+    build bytes, probe + expansion output ≈ 3× probe bytes."""
+    pool = getattr(ctx, "pool", None)
+    if pool is None or pool.budget is None or not plan.probe_keys:
+        return 1
+    if plan.kind not in ("inner", "left", "semi", "anti"):
+        return 1
+    from ..utils.memory import chunk_bytes
+    need = 3 * chunk_bytes(build) + 3 * chunk_bytes(probe)
+    avail = max(pool.budget - pool.used, 1)
+    if need <= avail:
+        return 1
+    return min(max(2, HT.next_pow2(-(-need // avail))), 64)
+
+
+def _exec_join_partitioned(plan: PhysHashJoin, probe: Chunk, build: Chunk,
+                           ctx: ExecContext, k: int) -> Chunk:
+    """Partition-at-a-time join under memory pressure.
+
+    Hash-partitions BOTH sides on the join keys (high hash bits, so
+    partition choice is independent of the table's low-bit slot hashing)
+    and runs one partition's build+probe at a time — peak operator state is
+    ~1/k of the in-memory join.  The HBM-tier redesign of the reference's
+    spilled join (``spiller/GenericPartitioningSpiller.java``,
+    ``operator/join/HashBuilderOperator.java:59`` SPILLING_INPUT states,
+    ``PartitionedConsumption.java`` partition-by-partition probe replay).
+    Every key lives in exactly one partition, so inner/left/semi/anti
+    results concatenate without dedup or merge."""
+    from ..ops.hashing import hash_keys
+    bits = max(k.bit_length() - 1, 1)
+    ph = hash_keys(_key_arrays(probe, plan.probe_keys))
+    bh = hash_keys(_key_arrays(build, plan.build_keys))
+    ppart = (ph >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    bpart = (bh >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    ctx.spill_partitions += k
+    outs = []
+    for p in range(k):
+        bsel = build.mask & (bpart == p)
+        psel = probe.mask & (ppart == p)
+        bcnt = int(jnp.sum(bsel))
+        pcnt = int(jnp.sum(psel))
+        if pcnt == 0 and (bcnt == 0 or plan.kind in ("semi", "anti",
+                                                     "inner", "left")):
+            continue  # no probe rows ⇒ no output rows for these kinds
+        sub_b = _compact_kernel(Chunk(build.cols, bsel),
+                                max(HT.next_pow2(max(bcnt, 1)), 64))
+        sub_p = _compact_kernel(Chunk(probe.cols, psel),
+                                max(HT.next_pow2(max(pcnt, 1)), 64))
+        outs.append(_join_core(plan, sub_p, sub_b, ctx))
+    if not outs:  # degenerate: no probe rows anywhere — keep output schema
+        sub_p = _compact_kernel(Chunk(probe.cols, probe.mask & False), 64)
+        sub_b = _compact_kernel(Chunk(build.cols, build.mask & False), 64)
+        return _join_core(plan, sub_p, sub_b, ctx)
+    return concat_chunks(outs)
 
 
 @partial(jax.jit, static_argnames=("probe_key", "build_key"))

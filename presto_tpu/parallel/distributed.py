@@ -42,6 +42,7 @@ from ..exec.expreval import eval_expr, eval_predicate, _scale_of
 from ..ops import agg as A
 from ..ops import decimal as DEC
 from ..ops import hashtable as HT
+from ..ops import hll as HLL
 from ..ops import int128 as I128
 from ..ops import sort as SORT
 from ..ops.hashing import hash_keys
@@ -406,14 +407,14 @@ def _exchange_join_inputs(plan: PH.PhysHashJoin, probe: Chunk, prep: bool,
         return probe, build, prep
     if prep:
         probe = deflate_chunk(probe)
-    # Skew handling is sound whenever splitting a probe key across devices
-    # cannot duplicate or lose output rows: unique-build joins (each split
-    # probe row still meets its one build row, now replicated) and
-    # semi/anti (existence tests).  Expanding joins keep plain hashing.
+    # Skew handling: split heavy probe keys round-robin and replicate their
+    # build rows everywhere.  Sound for EVERY join kind: a split probe row
+    # still meets each build row of its key exactly once (the replicated
+    # copies), so unique joins, semi/anti existence tests, AND expanding
+    # joins all produce each output pair exactly once — heavy build rows
+    # are excluded from the cold partitioned route, so no dedup is needed.
     pkeys = PH._key_arrays(probe, plan.probe_keys)
-    heavy = None
-    if plan.unique_build or plan.kind in ("semi", "anti"):
-        heavy = detect_heavy_hashes(hash_keys(pkeys), probe.mask)
+    heavy = detect_heavy_hashes(hash_keys(pkeys), probe.mask)
     # bucket sizes hug the planner's row estimates (×2 safety) — padded
     # shapes would otherwise compound slack through chained exchanges; the
     # per-site overflow retry absorbs estimate misses
@@ -739,8 +740,10 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
         # child already replicated (or no mesh): one-level aggregation
         return _replicated_local_agg(plan, child, ctx), True
     if not plan.groups:
-        if any(s.func in _WHOLE_GROUP_FUNCS for s in plan.aggs):
-            # needs all rows together (order statistics): gather then reduce
+        if any(s.func in _WHOLE_GROUP_FUNCS or s.distinct
+               for s in plan.aggs):
+            # needs all rows together (order statistics / exact distinct
+            # dedup): gather then reduce
             return PH._exec_global_agg(plan, allgather_chunk(child)), True
         # global aggregation: local partials then psum-style merge
         return _traced_global_agg(plan, child), True
@@ -793,7 +796,9 @@ def merge_agg_states(plan: PH.PhysHashAggregate, partials: Chunk,
     for sname, sfunc in state_specs:
         c = partials.cols[sname]
         m = partials.mask & (slot2 >= 0) & c.valid_or_true()
-        if sfunc == "sum":
+        if sfunc == "hll":
+            v = HLL.seg_merge(c.values, slot2, m, capacity)
+        elif sfunc == "sum":
             if c.values.ndim == 2:
                 v = I128.pack(*I128.seg_sum128_from_i128(
                     c.values, slot2, m, capacity))
@@ -930,6 +935,16 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
         return out
     c = eval_expr(spec.arg, chunk)
     vmask = mask & c.valid_or_true()
+    if spec.func == "approx_distinct":
+        # mergeable HLL registers (reference: airlift HLL state in
+        # ApproximateCountDistinctAggregation) — merge = elementwise max,
+        # so the sketch rides the partial→final exchange like any sum
+        from ..ops.hashing import hash_keys as _hash_keys
+        h = _hash_keys(PH._key_arrays(chunk, (spec.arg,)))
+        regs = HLL.group_state(h, slot, vmask, capacity)
+        out.append((f"{spec.name}#hll", "hll",
+                    DCol(T.BIGINT, PLAIN, regs, validity=gvalid)))
+        return out
     if spec.func in ("sum", "avg"):
         if T.is_decimal(c.dtype):
             # int128 partial accumulation (reference:
@@ -974,6 +989,9 @@ def _finalize_agg(spec: PH.AggSpec, merged: Dict[str, DCol]) -> DCol:
     if spec.func in ("count", "count_star"):
         c = merged[f"{spec.name}#cnt"]
         return DCol(T.BIGINT, PLAIN, c.values, validity=c.validity)
+    if spec.func == "approx_distinct":
+        c = merged[f"{spec.name}#hll"]
+        return DCol(T.BIGINT, PLAIN, HLL.estimate(c.values))
     if spec.func == "sum":
         c = merged[f"{spec.name}#sum"]
         return DCol(ot, PLAIN, c.values, validity=c.validity)
@@ -998,11 +1016,16 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
     orig_aggs = plan.aggs
     expanded = []
     avg_specs = []
+    hll_specs = []
     for spec in plan.aggs:
         if spec.func == "avg":
             avg_specs.append(spec)
             expanded.append(PH.AggSpec(f"{spec.name}#sum", "sum", spec.arg))
             expanded.append(PH.AggSpec(f"{spec.name}#cnt", "count", spec.arg))
+        elif spec.func == "approx_distinct":
+            hll_specs.append(spec)
+            expanded.append(PH.AggSpec(f"{spec.name}#hll", "hll_state",
+                                       spec.arg))
         else:
             expanded.append(spec)
     plan = PH.PhysHashAggregate(plan.child, plan.groups, tuple(expanded),
@@ -1014,7 +1037,10 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
     for spec in plan.aggs:
         c = gathered.cols[spec.name]
         m = gathered.mask & c.valid_or_true()
-        if spec.func == "sum" and c.values.ndim == 2:
+        if spec.func == "hll_state":
+            # per-device HLL registers [nd, m] → union (max) → estimate
+            v = HLL.estimate(jnp.max(c.values, axis=0))[None]
+        elif spec.func == "sum" and c.values.ndim == 2:
             v = I128.pack(*I128.g_sum128_from_i128(c.values, m))[None]
         elif spec.func in ("count", "count_star", "sum"):
             v = A.g_sum(c.values, m, c.values.dtype)[None]
@@ -1026,8 +1052,11 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
                  if c.values.ndim == 2 else A.g_max(c.values, m))[None]
         elif spec.func == "avg":
             continue  # handled below from partial sum/count
-        out[spec.name] = DCol(c.dtype, PLAIN, v,
+        out[spec.name] = DCol(T.BIGINT if spec.func == "hll_state"
+                              else c.dtype, PLAIN, v,
                               validity=m.any()[None])
+    for spec in hll_specs:
+        out[spec.name] = out.pop(f"{spec.name}#hll")
     for spec in avg_specs:
         ssum = out.pop(f"{spec.name}#sum")
         scnt = out.pop(f"{spec.name}#cnt")
@@ -1070,7 +1099,7 @@ def _assemble_shards(shards: List[DCol], cap: int, mesh: Mesh) -> DCol:
     widths across shards), then stitches them into a global ``jax.Array``
     via ``make_array_from_single_device_arrays`` — zero host round-trips."""
     a = shards[0]
-    nd = len(shards)
+    nd = mesh.devices.size  # global device count (shards may be local-only)
     sharding = NamedSharding(mesh, P("d"))
 
     def stitch(arrs, pad_width: Optional[int] = None):
@@ -1206,10 +1235,16 @@ class DistributedRunner:
 
     def _ingest_shard_table(self, table: str, columns):
         """Generate missing columns shard-by-shard, stitch per-device arrays
-        into global row-sharded jax.Arrays, and account them in the pool."""
+        into global row-sharded jax.Arrays, and account them in the pool.
+
+        Multi-process aware: each process generates + device_puts ONLY the
+        shards of its addressable devices (the DCN data plane never moves
+        base-table data between hosts); every process computes all shard
+        row counts deterministically so pad capacities agree globally."""
         from ..utils.memory import col_bytes
         columns = sorted(set(columns))
         devs = list(self.mesh.devices.flat)
+        me = jax.process_index()
         if table in ("region", "nation"):  # tiny fixed tables: no slicing
             t = generator.generate(table, self.sf, columns=columns)
             self.ingest_slices += 1
@@ -1218,23 +1253,31 @@ class DistributedRunner:
             per_dev, counts = [], []
             for k in range(self.nd):
                 lo, hi = min(k * per, n), min((k + 1) * per, n)
-                per_dev.append({c: _put_shard(
-                    t.columns[c].slice(lo, hi - lo), devs[k])
-                    for c in columns})
                 counts.append(hi - lo)
+                per_dev.append(
+                    {c: _put_shard(t.columns[c].slice(lo, hi - lo), devs[k])
+                     for c in columns}
+                    if devs[k].process_index == me else None)
         else:
             per_dev, counts = [], []
             for k, (first, cnt) in enumerate(self._unit_ranges(table)):
-                cols, rows = self._gen_shard(table, columns, first, cnt,
-                                             devs[k])
-                per_dev.append(cols)
-                counts.append(rows)
+                if devs[k].process_index == me:
+                    cols, rows = self._gen_shard(table, columns, first, cnt,
+                                                 devs[k])
+                    per_dev.append(cols)
+                    counts.append(rows)
+                else:
+                    per_dev.append(None)
+                    counts.append(generator.slice_row_count(
+                        table, self.sf, first, cnt))
         cap = max(max(counts), 1)
         prev = self._shard_caps.setdefault(table, cap)
         assert prev == cap, \
             f"non-deterministic shard capacity for {table}: {prev} vs {cap}"
+        local = [k for k in range(self.nd) if per_dev[k] is not None]
         for c in columns:
-            dc = _assemble_shards([d[c] for d in per_dev], cap, self.mesh)
+            dc = _assemble_shards([per_dev[k][c] for k in local], cap,
+                                  self.mesh)
             key = (table, c)
             self._shard_cols[key] = dc
             self.pool.reserve(
@@ -1243,13 +1286,26 @@ class DistributedRunner:
         if table not in self._shard_masks:
             sharding = NamedSharding(self.mesh, P("d"))
             shards = []
-            for k, cnt in enumerate(counts):
+            for k in local:
                 m = np.zeros(cap, bool)
-                m[:cnt] = True
+                m[:counts[k]] = True
                 shards.append(jax.device_put(m, devs[k]))
             self._shard_masks[table] = \
                 jax.make_array_from_single_device_arrays(
                     (cap * self.nd,), sharding, shards)
+
+    def _host_read(self, arr):
+        """Global array → host numpy, across processes if needed.
+
+        Single-process: plain np.asarray.  Multi-process: the result edge
+        of the reference's ExchangeClient — shards cross the (simulated)
+        DCN via a tiled process allgather so every controller holds the
+        full client-facing result."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
 
     def _shard_table(self, table: str, columns):
         """Cached row-sharded device arrays for one table (generated on
@@ -1331,9 +1387,10 @@ class DistributedRunner:
                 self._fns[mkey] = (fn, keys_holder)
             out_chunk, ovf = fn(shard_vals, masks)
             self.last_trace_stats = self._stats_by_plan.get(id(plan))
-            flags = np.asarray(ovf)
+            flags = self._host_read(ovf)
             if not flags.any():
-                return materialize(out_chunk)
+                return materialize(jax.tree_util.tree_map(
+                    self._host_read, out_chunk))
             k = max(len(keys_holder), 1)
             per_site = flags.reshape(self.nd, k).any(axis=0)
             for key, f in zip(keys_holder, per_site):

@@ -978,11 +978,12 @@ class Planner:
             key = ("count_star", None, False, None, None)
             arg = None
         elif node.name == "approx_distinct":
-            # exact implementation this round (HLL sketch: roadmap); the
-            # reference allows exactness as a legal approximation
+            # dense HyperLogLog sketch state (ops/hll.py) — mergeable
+            # registers, so distributed execution stays partial→final
+            # (reference: ApproximateCountDistinctAggregation)
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
-            key = ("count", arg, True, None, None)
-            node = ast.FuncCall("count", node.args, True)
+            key = ("approx_distinct", arg, False, None, None)
+            node = ast.FuncCall("approx_distinct", node.args, False)
         elif node.name in ("min_by", "max_by"):
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
             arg2 = self.resolve(node.args[1], self._cur_scope,

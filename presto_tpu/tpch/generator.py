@@ -556,3 +556,18 @@ def total_unit_rows(table: str, sf: float) -> int:
     if table in ("region", "nation"):
         return ROW_UNITS[table]
     return int(ROW_UNITS[table] * sf)
+
+
+def slice_row_count(table: str, sf: float, first_row: int,
+                    n_rows: int) -> int:
+    """Row count of a generator slice WITHOUT materializing columns.
+
+    Lineitem slices are order-unit ranges with data-dependent fanout
+    (1..7 lines per order); every other table is 1 row per unit.  Used by
+    multi-process sharding, where each process must know every shard's
+    row count (for the common pad capacity) but only generates its own."""
+    if table == "lineitem":
+        counts = bounded_int(
+            _stream("lineitem", "count").values(n_rows, 1, first_row), 1, 7)
+        return int(counts.sum())
+    return n_rows

@@ -31,7 +31,10 @@ def test_extended_aggregates(runner):
     assert np.allclose(got.vp.values * 1e4, g.o_totalprice.var(ddof=0).values)
     assert np.allclose(got.vs.values * 1e4, g.o_totalprice.var(ddof=1).values)
     assert np.allclose(got.sp.values * 100, g.o_totalprice.std(ddof=0).values)
-    assert got.ad.tolist() == g.o_custkey.nunique().tolist()
+    # approx_distinct is a real HLL sketch now (m=2048 → ~2.3% std error);
+    # count(distinct) stays exact
+    nunique = np.asarray(g.o_custkey.nunique().tolist(), dtype=float)
+    assert np.all(np.abs(got.ad.values - nunique) <= 0.05 * nunique + 1)
     assert got.cd.tolist() == g.o_custkey.nunique().tolist()
     assert got.ba.all() and not got.bo.any()
 

@@ -162,6 +162,92 @@ def test_heavy_detection_identifies_hot_hash(mesh, data):
     assert n_real <= 2, f"false heavy positives: {heavy[0]}"
 
 
+FANOUT = 3  # build rows per key in the expanding-join fixture
+
+
+@pytest.fixture(scope="module")
+def expand_data(mesh):
+    """Non-unique build: FANOUT rows per key (expanding join fixture)."""
+    rng = np.random.default_rng(43)
+    keys = rng.integers(0, NDV, size=N).astype(np.int64)
+    keys[rng.random(N) < 0.5] = HEAVY_KEY
+    pay = np.arange(N, dtype=np.int64)
+    nb = NDV * FANOUT
+    bk = np.repeat(np.arange(NDV, dtype=np.int64), FANOUT)
+    bp = np.arange(nb, dtype=np.int64)
+    bk_pad = np.zeros(N, np.int64)
+    bp_pad = np.zeros(N, np.int64)
+    bm = np.zeros(N, bool)
+    idx = np.arange(nb) * (N // nb)
+    bk_pad[idx], bp_pad[idx], bm[idx] = bk, bp, True
+    return {"pk": _sharded(mesh, keys), "pv": _sharded(mesh, pay),
+            "bk": _sharded(mesh, bk_pad), "bp": _sharded(mesh, bp_pad),
+            "bm": _sharded(mesh, bm),
+            "keys_np": keys, "pay_np": pay, "bk_np": bk, "bp_np": bp}
+
+
+def test_skew_expanding_join_balances_and_expands_correctly(
+        mesh, expand_data):
+    """Heavy-key splitting must also cover EXPANDING joins (non-unique
+    build): heavy build rows replicate, split probe rows each meet every
+    build row of their key exactly once (VERDICT r2 item 7 — plain hashing
+    fails this shape, see test_plain_repartition_overflows_on_skew)."""
+    data = expand_data
+    kref = ir.ColumnRef("k", T.BIGINT)
+    plan = PH.PhysHashJoin(
+        probe=None, build=None, probe_keys=(kref,), build_keys=(kref,),
+        kind="inner", unique_build=False,
+        build_payload=(("p", "p"),), build_est=float(NDV * FANOUT),
+        probe_est=float(N), dist_type="partitioned")
+    shard_map, no_check = D._get_shard_map()
+
+    def stage(pk, pv, bk, bp, bm):
+        probe = Chunk({"k": DCol(T.BIGINT, PLAIN, pk),
+                       "v": DCol(T.BIGINT, PLAIN, pv)},
+                      jnp.ones(pk.shape, jnp.bool_))
+        build = Chunk({"k": DCol(T.BIGINT, PLAIN, bk),
+                       "p": DCol(T.BIGINT, PLAIN, bp)}, bm)
+        ctx = D.TraceCtx({}, {}, 1.0, overflow=[], overflow_keys=[])
+        probe2, build2, _ = D._exchange_join_inputs(
+            plan, probe, False, build, False, ctx)
+        cap = D.HT.capacity_for(build2.n_rows)
+        table = PH._build_kernel(build2, plan.build_keys, cap)
+        slot, cnt = PH._probe_counts_kernel(table, probe2, plan.probe_keys)
+        out_size = D.HT.next_pow2(probe2.n_rows) * 4
+        out, e_ovf = PH._join_expand_pairs(plan, probe2, build2, table,
+                                           slot, cnt, out_size)
+        ctx.overflow.append(e_ovf)
+        got = jnp.sum(probe2.mask.astype(jnp.int32))[None]
+        ovf = jnp.stack(ctx.overflow)
+        vs = jax.lax.all_gather(jnp.where(out.mask, out.cols["v"].values,
+                                          -1), "d", tiled=True)
+        ps = jax.lax.all_gather(jnp.where(out.mask, out.cols["p"].values,
+                                          -1), "d", tiled=True)
+        return ovf, got, vs, ps
+
+    fn = jax.jit(shard_map(stage, mesh=mesh, in_specs=(P("d"),) * 5,
+                           out_specs=(P("d"), P("d"), P(), P()),
+                           **no_check))
+    ovf, got, vs, ps = (np.asarray(x) for x in fn(
+        data["pk"], data["pv"], data["bk"], data["bp"], data["bm"]))
+    assert not ovf.any(), "skew-aware exchange must not overflow"
+    fair = N / ND
+    assert got.max() <= 2 * fair, f"unbalanced: {got}"  # post-exchange
+    assert got.sum() == N
+    # expansion output: every (probe row, build row of its key) pair once
+    from collections import Counter
+    exp = Counter()
+    bp_by_key = {}
+    for k, p in zip(data["bk_np"], data["bp_np"]):
+        bp_by_key.setdefault(int(k), []).append(int(p))
+    for v, k in zip(data["pay_np"], data["keys_np"]):
+        for p in bp_by_key[int(k)]:
+            exp[(int(v), p)] += 1
+    sel = vs >= 0
+    gotpairs = Counter(zip(vs[sel].tolist(), ps[sel].tolist()))
+    assert gotpairs == exp
+
+
 def test_uniform_keys_detect_nothing(mesh, data):
     from presto_tpu.ops.hashing import hash_keys
     shard_map, no_check = D._get_shard_map()
