@@ -1406,6 +1406,6 @@ class DistributedRunner:
         plan = self._plan_cache.get(sql)
         if plan is None:
             plan = prune(optimize(Planner(self.sf).plan(parse(sql))), None)
-            add_exchanges(plan, self.broadcast_row_limit)
+            plan = add_exchanges(plan, self.broadcast_row_limit)
             self._plan_cache[sql] = plan
         return self.run_physical(plan)

@@ -206,6 +206,135 @@ class PushFilterThroughProject(Rule):
                              proj.projections)
 
 
+# ----------------------------------------------------------- schema helper
+
+def output_columns(node: P.PhysOp) -> Optional[frozenset]:
+    """Output column names of a physical subtree (None = unknown — rules
+    relying on this must then stay conservative)."""
+    if isinstance(node, P.PhysScan):
+        return frozenset(node.alias_prefix + c for c in node.columns)
+    if isinstance(node, (P.PhysFilter, P.PhysLimit, P.PhysSort)):
+        return output_columns(node.child)
+    if isinstance(node, P.PhysProject):
+        return frozenset(n for n, _ in node.projections)
+    if isinstance(node, P.PhysHashAggregate):
+        return frozenset([n for n, _ in node.groups]
+                         + [s.name for s in node.aggs])
+    if isinstance(node, P.PhysHashJoin):
+        probe = output_columns(node.probe)
+        if probe is None:
+            return None
+        if node.kind in ("semi", "anti"):
+            return probe
+        return probe | {o for o, _ in node.build_payload}
+    return None
+
+
+def conjuncts(e: ir.Expr) -> List[ir.Expr]:
+    if isinstance(e, ir.Logical) and e.op == "and":
+        return list(e.args)
+    return [e]
+
+
+# ---------------------------------------------------- join rules (CBO-lite)
+
+class PushFilterThroughJoin(Rule):
+    """Filter(Join) → Join with conjuncts sunk into the matching side — the
+    join step of the reference's ``PredicatePushDown``.  Probe-side
+    conjuncts push for every join kind (probe rows filter before or after
+    identically); build-side conjuncts push only for INNER joins (for LEFT
+    they would also drop null-extended probe rows)."""
+
+    pattern = Pattern(P.PhysFilter,
+                      lambda n: isinstance(n.child, P.PhysHashJoin))
+
+    def apply(self, node):
+        j = node.child
+        probe_cols = output_columns(j.probe)
+        if probe_cols is None:
+            return None
+        payload = dict(j.build_payload)  # out_name → build col
+        to_probe, to_build, kept = [], [], []
+        for c in conjuncts(node.predicate):
+            refs = set(ir.referenced_columns(c))
+            if refs <= probe_cols:
+                to_probe.append(c)
+            elif j.kind == "inner" and refs <= set(payload):
+                mapping = {r.name: ir.ColumnRef(payload[r.name], r.dtype)
+                           for r in ir.walk(c)
+                           if isinstance(r, ir.ColumnRef)}
+                to_build.append(substitute(c, mapping))
+            else:
+                kept.append(c)
+        if not to_probe and not to_build:
+            return None
+        probe = (P.PhysFilter(j.probe, ir.and_(*to_probe))
+                 if to_probe else j.probe)
+        build = (P.PhysFilter(j.build, ir.and_(*to_build))
+                 if to_build else j.build)
+        out = dataclasses.replace(j, probe=probe, build=build)
+        if kept:
+            out = P.PhysFilter(out, ir.and_(*kept))
+        return out
+
+
+class FlipJoinToSmallerBuild(Rule):
+    """Inner join whose build side is estimated ≥2× the probe side flips,
+    hashing the smaller relation — the size heuristic of the reference's
+    CBO (``iterative/rule/ReorderJoins.java`` /
+    ``DetermineJoinDistributionType``'s size comparison), driven by the
+    generator statistics the planner stamps as ``build_est``/``probe_est``.
+
+    Guarded so the output schema is provably unchanged: the old build's
+    columns must be exactly its payload outputs (no renames), so after the
+    flip the join emits the same column set."""
+
+    pattern = Pattern(
+        P.PhysHashJoin,
+        lambda n: (n.kind == "inner" and not n.unique_build
+                   and n.build_est > 0 and n.probe_est > 0
+                   and n.build_est >= 2 * n.probe_est
+                   and all(o == b for o, b in n.build_payload)))
+
+    def apply(self, node):
+        bcols = output_columns(node.build)
+        pcols = output_columns(node.probe)
+        if bcols is None or pcols is None:
+            return None
+        if bcols != frozenset(o for o, _ in node.build_payload):
+            return None
+        return dataclasses.replace(
+            node,
+            probe=node.build, build=node.probe,
+            probe_keys=node.build_keys, build_keys=node.probe_keys,
+            unique_build=False,
+            build_payload=tuple((c, c) for c in sorted(pcols)),
+            build_est=node.probe_est, probe_est=node.build_est)
+
+
+def _constant_keys(keys) -> bool:
+    return all(isinstance(k, ir.Literal) for k in keys)
+
+
+class DetermineJoinDistributionType(Rule):
+    """Stamp REPLICATED vs PARTITIONED from the build-size estimate — the
+    reference's ``DetermineJoinDistributionType`` size-based AUTOMATIC
+    policy (``join_max_broadcast_table_size``), as a rule with the
+    generator-stats cost hook.  Constant-key (cross) joins stay REPLICATED:
+    hashing a constant would route every row to one device."""
+
+    def __init__(self, broadcast_row_limit: float):
+        self.broadcast_row_limit = broadcast_row_limit
+        self.pattern = Pattern(
+            P.PhysHashJoin,
+            lambda n: (n.dist_type != "partitioned"
+                       and n.build_est > self.broadcast_row_limit
+                       and not _constant_keys(n.build_keys)))
+
+    def apply(self, node):
+        return dataclasses.replace(node, dist_type="partitioned")
+
+
 DEFAULT_RULES: Tuple[Rule, ...] = (
     MergeFilters(),
     RemoveTrivialFilters(),
@@ -214,6 +343,8 @@ DEFAULT_RULES: Tuple[Rule, ...] = (
     MergeLimitOverProjectWithSort(),
     InlineProjections(),
     PushFilterThroughProject(),
+    PushFilterThroughJoin(),
+    FlipJoinToSmallerBuild(),
 )
 
 
@@ -288,5 +419,10 @@ class IterativeOptimizer:
 
 
 def optimize(plan: P.PhysOp,
-             rules: Iterable[Rule] = DEFAULT_RULES) -> P.PhysOp:
-    return IterativeOptimizer(rules).optimize(plan)
+             rules: Iterable[Rule] = DEFAULT_RULES,
+             trace: Optional[List[str]] = None) -> P.PhysOp:
+    opt = IterativeOptimizer(rules)
+    out = opt.optimize(plan)
+    if trace is not None:
+        trace.extend(opt.applied)
+    return out

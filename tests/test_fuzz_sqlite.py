@@ -160,18 +160,18 @@ def _norm(rows):
     return sorted(map(repr, out))
 
 
-def test_fuzz_vs_sqlite(runner, sqlite_db):
-    rng = random.Random(20260817)
+def _run_fuzz(run_sql, sqlite_db, seed, n_queries):
+    rng = random.Random(seed)
     gen = Gen(rng)
     failures = []
-    for i in range(N_QUERIES):
+    for i in range(n_queries):
         sql = gen.query()
         try:
             exp = sqlite_db.execute(sql).fetchall()
         except sqlite3.Error:
             continue  # generator produced something sqlite rejects
         try:
-            got = runner.run_sql(sql)
+            got = run_sql(sql)
             got_rows = list(zip(*[got.to_pydict()[n] for n in got.names])) \
                 if got.names else []
         except Exception as e:  # noqa: BLE001
@@ -182,3 +182,20 @@ def test_fuzz_vs_sqlite(runner, sqlite_db):
                 (sql, f"mismatch: {len(got_rows)} vs {len(exp)} rows; "
                       f"first: {_norm(got_rows)[:1]} vs {_norm(exp)[:1]}"))
     assert not failures, "\n\n".join(f"{s}\n  -> {e}" for s, e in failures[:5])
+
+
+def test_fuzz_vs_sqlite(runner, sqlite_db):
+    _run_fuzz(runner.run_sql, sqlite_db, 20260817, N_QUERIES)
+
+
+def test_fuzz_vs_sqlite_distributed(sqlite_db):
+    """A fuzz slice through the 8-device mesh (general joins, outer joins,
+    unions — whatever the grammar emits — all inside the traced program).
+    Smaller count than the local run: each distinct query compiles its own
+    shard_map program."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    from presto_tpu.parallel import distributed as D
+    dist = D.DistributedRunner(D.make_mesh(), SF)
+    _run_fuzz(dist.run_sql, sqlite_db, 20260817, 30)

@@ -81,6 +81,61 @@ def test_push_filter_through_project():
     assert ir.referenced_columns(out.child.predicate) == ["l_quantity"]
 
 
+def _join(kind="inner", unique=False, best=100.0, pest=1000.0):
+    probe = P.PhysScan("orders", ("o_orderkey", "o_custkey"))
+    build = P.PhysScan("customer", ("c_custkey", "c_name"))
+    return P.PhysHashJoin(
+        probe=probe, build=build,
+        probe_keys=(col("o_custkey"),), build_keys=(col("c_custkey"),),
+        kind=kind, unique_build=unique,
+        build_payload=(("c_custkey", "c_custkey"), ("c_name", "c_name")),
+        build_est=best, probe_est=pest)
+
+
+def test_push_filter_through_join_probe_side():
+    pred = ir.Compare("<", col("o_orderkey"), ir.lit_bigint(10))
+    out = R.optimize(P.PhysFilter(_join(), pred))
+    j = out if isinstance(out, P.PhysHashJoin) else out.child
+    assert isinstance(j, P.PhysHashJoin)
+    assert isinstance(j.probe, P.PhysFilter)  # conjunct sank to probe
+
+
+def test_push_filter_through_join_build_side_inner_only():
+    pred = ir.Compare("<", col("c_custkey"), ir.lit_bigint(10))
+    out = R.optimize(P.PhysFilter(_join("inner"), pred))
+    j = out if isinstance(out, P.PhysHashJoin) else out.child
+    assert isinstance(j.build, P.PhysFilter)
+    # LEFT join: build-side conjunct must NOT push below the join
+    out = R.optimize(P.PhysFilter(_join("left"), pred))
+    assert isinstance(out, P.PhysFilter)
+    assert not isinstance(out.child.build, P.PhysFilter)
+
+
+def test_flip_join_to_smaller_build():
+    # build est 1000 >= 2×100 probe est, payload covers all build cols
+    j = _join(best=1000.0, pest=100.0)
+    out = R.optimize(j)
+    assert isinstance(out, P.PhysHashJoin)
+    assert out.build.table == "orders"      # flipped: smaller side hashes?
+    assert out.probe.table == "customer"
+    assert out.build_est == 100.0
+    assert {o for o, _ in out.build_payload} == {"o_orderkey", "o_custkey"}
+    # no flip when estimates are close
+    j2 = _join(best=150.0, pest=100.0)
+    assert R.optimize(j2).build.table == "customer"
+    # no flip for unique-build (planner's PK choice stands)
+    j3 = _join(unique=True, best=1000.0, pest=100.0)
+    assert R.optimize(j3).build.table == "customer"
+
+
+def test_determine_join_distribution_rule():
+    from presto_tpu.sql.planner.distribution import add_exchanges
+    out = add_exchanges(_join(best=5000.0), broadcast_row_limit=1000)
+    assert out.dist_type == "partitioned"
+    out2 = add_exchanges(_join(best=500.0), broadcast_row_limit=1000)
+    assert out2.dist_type == "replicated"
+
+
 def test_budget_terminates():
     opt = R.IterativeOptimizer(budget=1)
     p1 = ir.Compare("<", col("l_quantity"), ir.lit_bigint(10))
