@@ -53,8 +53,10 @@ class _QueryResult:
         self.columns: List[Dict[str, str]] = []
         self.rows: List[List[Any]] = []
         self.error: Optional[str] = None
+        self.error_code: Optional[tuple] = None  # (code, name, type)
         self.created = time.time()
         self.elapsed_s = 0.0
+        self.peak_memory_bytes = 0
 
 
 class StatementServer:
@@ -84,7 +86,15 @@ class StatementServer:
                 n = int(self.headers.get("Content-Length", 0))
                 sql = self.rfile.read(n).decode()
                 user = self.headers.get("X-Trino-User", "presto")
-                q = server._execute(sql, user)
+                # session properties via header (reference:
+                # client/ProtocolHeaders.java X-Trino-Session k=v,k=v)
+                props = {}
+                hdr = self.headers.get("X-Trino-Session", "")
+                for kv in hdr.split(","):
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        props[k.strip()] = v.strip()
+                q = server._execute(sql, user, props)
                 # first hop mirrors the queued→executing redirect: no data
                 self._send(server._results(q, token=0, data=False))
 
@@ -130,12 +140,19 @@ class StatementServer:
 
     # -- protocol bodies --------------------------------------------------
 
-    def _execute(self, sql: str, user: str) -> _QueryResult:
+    def _execute(self, sql: str, user: str,
+                 session_props: Optional[dict] = None) -> _QueryResult:
         q = _QueryResult(f"q_{next(_ids)}", sql)
         self._queries[q.id] = q
         t0 = time.time()
         with self._lock:
             try:
+                if session_props:
+                    # per-query session overrides (SystemSessionProperties
+                    # role): applied to the connection's Session for this
+                    # statement
+                    for k, v in session_props.items():
+                        self.connection.session.set(k, v)
                 cur = self.connection.execute(sql)
                 types = [d[1] for d in cur.description or []]
                 q.columns = [{"name": d[0], "type": d[1]}
@@ -143,23 +160,40 @@ class StatementServer:
                 q.rows = [[_json_value(v, t) for v, t in zip(row, types)]
                           for row in cur.fetchall()]
                 q.state = "FINISHED"
+                pool = getattr(
+                    getattr(self.connection, "_runner", None),
+                    "datasource", None)
+                if pool is not None:
+                    q.peak_memory_bytes = pool.pool.peak
             except Exception as e:  # noqa: BLE001 - surfaced via protocol
+                from ..utils.errors import classify
                 q.state = "FAILED"
                 q.error = f"{type(e).__name__}: {e}"
+                q.error_code = classify(e)
         q.elapsed_s = time.time() - t0
         return q
 
     def _results(self, q: _QueryResult, token: int, data: bool) -> dict:
+        done = q.state in ("FINISHED", "FAILED")
         out: dict = {
             "id": q.id,
             "infoUri": f"{self.url}/v1/query/{q.id}",
+            # progress stats (reference: StatementStats built from
+            # QueryStats — state/elapsed/rows/bytes/memory/progress)
             "stats": {"state": q.state,
+                      "queued": q.state == "QUEUED",
+                      "scheduled": done,
                       "elapsedTimeMillis": int(q.elapsed_s * 1000),
-                      "processedRows": len(q.rows)},
+                      "processedRows": len(q.rows),
+                      "peakMemoryBytes": q.peak_memory_bytes,
+                      "progressPercentage": 100.0 if done else 0.0},
         }
         if q.error is not None:
-            out["error"] = {"message": q.error,
-                            "errorCode": 1, "errorName": "GENERIC"}
+            code, name, etype = q.error_code or (65536,
+                                                 "GENERIC_INTERNAL_ERROR",
+                                                 "INTERNAL_ERROR")
+            out["error"] = {"message": q.error, "errorCode": code,
+                            "errorName": name, "errorType": etype}
             return out
         if q.columns:
             out["columns"] = q.columns

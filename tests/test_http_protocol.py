@@ -73,3 +73,42 @@ def test_dml_over_http(client):
     _, rows = client.execute("select count(*) c from http_t where k >= 1000")
     assert rows[0][0] == 5
     client.execute("drop table http_t")
+
+
+def test_error_code_taxonomy(server):
+    """Structured error triple (reference: spi/StandardErrorCode.java)."""
+    import urllib.request
+    req = urllib.request.Request(
+        f"{server.url}/v1/statement",
+        data=b"select * from no_such_table_xyz", method="POST")
+    with urllib.request.urlopen(req) as r:
+        body = json.loads(r.read())
+    err = body["error"]
+    assert err["errorType"] == "USER_ERROR"
+    assert err["errorName"] in ("TABLE_NOT_FOUND", "GENERIC_USER_ERROR")
+    assert isinstance(err["errorCode"], int)
+
+
+def test_stats_and_progress(server):
+    import urllib.request
+    req = urllib.request.Request(
+        f"{server.url}/v1/statement",
+        data=b"select count(*) c from nation", method="POST")
+    with urllib.request.urlopen(req) as r:
+        body = json.loads(r.read())
+    st = body["stats"]
+    assert st["state"] == "FINISHED"
+    assert st["scheduled"] is True
+    assert st["progressPercentage"] == 100.0
+    assert "peakMemoryBytes" in st and "elapsedTimeMillis" in st
+
+
+def test_session_header_applied(server):
+    import urllib.request
+    req = urllib.request.Request(
+        f"{server.url}/v1/statement",
+        data=b"select r_regionkey from region limit 1",
+        headers={"X-Trino-Session": "query_max_rows=9"}, method="POST")
+    with urllib.request.urlopen(req) as r:
+        body = json.loads(r.read())
+    assert body["stats"]["state"] in ("FINISHED", "FAILED")
