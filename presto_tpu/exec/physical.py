@@ -153,7 +153,8 @@ class WindowSpec:
     #                                  first_value|sum|count|min|max|avg
     arg: Optional[ir.Expr] = None
     offset: int = 1                  # lead/lag distance
-    frame: Optional[tuple] = None    # ("rows", (start, k), (end, k))
+    frame: Optional[tuple] = None    # ("rows"|"range"|"groups", lo, hi)
+    ignore_nulls: bool = False       # lead/lag/first/last/nth
 
 
 @dataclass
@@ -393,7 +394,75 @@ _sort_kernel = partial(jax.jit, static_argnames=("keys",))(_sort_traced)
 
 def _exec_sort(plan: PhysSort, ctx: ExecContext) -> Chunk:
     child = execute(plan.child, ctx)
+    pool = getattr(ctx, "pool", None)
+    if pool is not None and pool.budget is not None:
+        from ..utils.memory import chunk_bytes
+        need = 3 * chunk_bytes(child)
+        avail = max(pool.budget - pool.used, 1)
+        if need > avail:
+            k = min(max(2, HT.next_pow2(-(-need // avail))), 64)
+            return _exec_sort_partitioned(plan, child, ctx, k)
     out = _sort_kernel(child, plan.keys)
+    if plan.limit is not None:
+        out = _exec_limit(out, plan.limit)
+    return out
+
+
+def _lex_ge(arrays: List[jnp.ndarray], pivot: List[jnp.ndarray]):
+    """Row-wise lexicographic (arrays tuple) >= (pivot scalars tuple)."""
+    ge = jnp.ones_like(arrays[0], dtype=jnp.bool_)
+    out = jnp.zeros_like(ge)
+    for a, p in zip(arrays, pivot):
+        out = out | (ge & (a > p))
+        ge = ge & (a == p)
+    return out | ge
+
+
+@partial(jax.jit, static_argnames=("keys", "k"))
+def _sort_partition_ids(chunk: Chunk, keys, k: int) -> jnp.ndarray:
+    """Range-partition ids (0..k-1) from sampled splitters over the
+    normalized sort keys + a row-index tiebreak (equal-key runs split
+    deterministically so partitions stay balanced under duplicates)."""
+    normed = []
+    for a, desc in _sort_key_arrays(chunk, keys):
+        a = a.astype(jnp.int64)
+        if desc:
+            a = ~a
+        normed.append(jnp.where(chunk.mask, a, SORT.I64_MAX))
+    n = chunk.n_rows
+    normed.append(jnp.arange(n, dtype=jnp.int64))
+    s = min(4096, n)
+    idx = (jnp.arange(s, dtype=jnp.int32) * max(n // max(s, 1), 1)) % n
+    samples = [a[idx] for a in normed]
+    sperm = SORT.argsort_multi([(g, False) for g in samples])
+    part = jnp.zeros((n,), jnp.int32)
+    for i in range(1, k):
+        pos = sperm[(i * s) // k]
+        pivot = [g[pos] for g in samples]
+        part = part + _lex_ge(normed, pivot).astype(jnp.int32)
+    return part
+
+
+def _exec_sort_partitioned(plan: PhysSort, child: Chunk, ctx: ExecContext,
+                           k: int) -> Chunk:
+    """Sort under memory pressure: sample-based range partitioning + one
+    partition sorted at a time; partition-order concatenation IS the
+    merge (the reference spills sorted runs and N-way-merges them —
+    ``operator/OrderByOperator.java`` + ``util/MergeSortedPages``; range
+    partitioning designs the merge away)."""
+    part = _sort_partition_ids(child, plan.keys, k)
+    ctx.spill_partitions += k
+    outs = []
+    for p in range(k):
+        sel = child.mask & (part == p)
+        cnt = int(jnp.sum(sel))
+        if cnt == 0:
+            continue
+        sub = _compact_kernel(Chunk(child.cols, sel),
+                              max(HT.next_pow2(cnt), 64))
+        outs.append(_sort_kernel(sub, plan.keys))
+    out = (concat_chunks(outs) if outs
+           else Chunk(dict(child.cols), child.mask & False))
     if plan.limit is not None:
         out = _exec_limit(out, plan.limit)
     return out
@@ -491,6 +560,10 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
     def frame_lo_hi(frame):
         if frame[0] == "rows":
             return W.frame_bounds(part_start, frame)
+        if frame[0] == "groups":
+            if not has_order:
+                raise ValueError("GROUPS frame requires ORDER BY")
+            return W.groups_frame_bounds(part_start, peer_start, frame)
         # RANGE: value offsets over the single numeric ORDER BY key
         if len(plan.order) != 1:
             raise NotImplementedError(
@@ -531,34 +604,71 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
             ot = T.BIGINT
         elif spec.func in ("lead", "lag"):
             c = eval_expr(spec.arg, chunk)
+            sv = c.values[perm]
+            v = c.valid_or_true()[perm] & smask
             off = spec.offset if spec.func == "lead" else -spec.offset
-            res, valid = W.shift_in_partition(c.values[perm], part_start, off)
-            v = c.valid_or_true()[perm]
-            valid = valid & v[jnp.clip(jnp.arange(n) + off, 0, n - 1)]
+            if spec.ignore_nulls:
+                res, valid = W.kth_nonnull_shift(sv, v, part_start, off)
+            else:
+                res, valid = W.shift_in_partition(sv, part_start, off)
+                valid = valid & v[jnp.clip(jnp.arange(n) + off, 0, n - 1)]
             ot = c.dtype
         elif spec.func == "first_value":
             c = eval_expr(spec.arg, chunk)
             sv = c.values[perm]
-            res = sv[jnp.maximum(part_start, 0)]
-            valid = c.valid_or_true()[perm][jnp.maximum(part_start, 0)]
+            v = c.valid_or_true()[perm]
+            if spec.ignore_nulls:
+                pe2 = W.peer_ends(peer_start) if has_order \
+                    else W.peer_ends(part_start)
+                pos, valid = W.nonnull_frame_edge(
+                    v & smask, jnp.maximum(part_start, 0), pe2, True)
+                res = sv[jnp.clip(pos, 0, n - 1)]
+            else:
+                res = sv[jnp.maximum(part_start, 0)]
+                valid = v[jnp.maximum(part_start, 0)]
             ot = c.dtype
         elif spec.func == "last_value":
             # default frame ends at the current peer run
             c = eval_expr(spec.arg, chunk)
             sv = c.values[perm]
-            pe2 = W.peer_ends(peer_start)
-            res = sv[pe2]
-            valid = c.valid_or_true()[perm][pe2]
+            v = c.valid_or_true()[perm]
+            pe2 = W.peer_ends(peer_start) if has_order \
+                else W.peer_ends(part_start)
+            if spec.ignore_nulls:
+                pos, valid = W.nonnull_frame_edge(
+                    v & smask, jnp.maximum(part_start, 0), pe2, False)
+                res = sv[jnp.clip(pos, 0, n - 1)]
+            else:
+                res = sv[pe2]
+                valid = v[pe2]
             ot = c.dtype
         elif spec.func == "nth_value":
             c = eval_expr(spec.arg, chunk)
             sv = c.values[perm]
-            pos = part_start + spec.offset - 1
-            pe2 = W.peer_ends(peer_start)
-            inframe = pos <= pe2
-            pos_c = jnp.clip(pos, 0, n - 1)
-            res = sv[pos_c]
-            valid = inframe & c.valid_or_true()[perm][pos_c]
+            pe2 = W.peer_ends(peer_start) if has_order \
+                else W.peer_ends(part_start)
+            if spec.ignore_nulls:
+                # n-th non-null from the frame start (partition start)
+                v = c.valid_or_true()[perm] & smask
+                # n-th non-null counting from the partition start
+                idx64 = jnp.arange(n, dtype=jnp.int64)
+                cnt = jnp.cumsum(v.astype(jnp.int64))
+                before_part = jnp.where(part_start > 0,
+                                        cnt[jnp.maximum(part_start - 1, 0)],
+                                        0)
+                rank = cnt - 1
+                nzpos = jnp.zeros((n + 1,), jnp.int64).at[
+                    jnp.where(v, rank, n)].set(idx64, mode="drop")
+                tgt = before_part + spec.offset - 1
+                pos = nzpos[jnp.clip(tgt, 0, n)]
+                valid = (tgt < cnt[pe2]) & (pos <= pe2)
+                res = sv[jnp.clip(pos, 0, n - 1)]
+            else:
+                pos = part_start + spec.offset - 1
+                inframe = pos <= pe2
+                pos_c = jnp.clip(pos, 0, n - 1)
+                res = sv[pos_c]
+                valid = inframe & c.valid_or_true()[perm][pos_c]
             ot = c.dtype
         elif spec.func in ("sum", "count", "min", "max", "avg", "count_star"):
             if spec.func == "count_star":

@@ -218,6 +218,91 @@ def range_frame_bounds(part_start: jnp.ndarray, peer_start: jnp.ndarray,
     return lo, hi
 
 
+def groups_frame_bounds(part_start: jnp.ndarray, peer_start: jnp.ndarray,
+                        frame) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[lo, hi] sorted-position bounds of a GROUPS frame.
+
+    GROUPS offsets count PEER GROUPS (reference ``GroupsFraming``): ``k
+    PRECEDING`` starts at the first row of the k-th group before the
+    current row's group; CURRENT ROW spans the whole peer group.  Frames
+    whose start group lies past the partition's last group (or end before
+    its first) come out empty (lo > hi)."""
+    n = part_start.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    part_end = peer_ends(part_start)
+    pe = peer_ends(peer_start)
+    new_peer = peer_start == idx
+    gid = jnp.cumsum(new_peer.astype(jnp.int64)) - 1   # global group id
+    tgt_idx = jnp.where(new_peer, gid, n)
+    gsp = jnp.zeros((n + 1,), jnp.int64).at[tgt_idx].set(idx, mode="drop")
+    gep = jnp.zeros((n + 1,), jnp.int64).at[tgt_idx].set(pe, mode="drop")
+    first_gid = gid[jnp.maximum(part_start, 0)]
+    last_gid = gid[part_end]
+
+    def edge(spec, is_start):
+        which, k = spec
+        if which == "unbounded_preceding":
+            return part_start
+        if which == "unbounded_following":
+            return part_end
+        if which == "current":
+            return peer_start if is_start else pe
+        delta = -k if which == "preceding" else k
+        tgt = gid + delta
+        pos = jnp.where(is_start,
+                        gsp[jnp.clip(tgt, first_gid, last_gid)],
+                        gep[jnp.clip(tgt, first_gid, last_gid)])
+        if is_start:
+            return jnp.where(tgt > last_gid, part_end + 1, pos)
+        return jnp.where(tgt < first_gid, part_start - 1, pos)
+
+    lo = jnp.maximum(edge(frame[1], True), part_start)
+    hi = jnp.minimum(edge(frame[2], False), part_end)
+    return lo, hi
+
+
+def kth_nonnull_shift(values: jnp.ndarray, valid: jnp.ndarray,
+                      part_start: jnp.ndarray, offset: int):
+    """lead/lag IGNORE NULLS: the |offset|-th NON-NULL value after
+    (offset>0) / before (offset<0) each sorted position, same partition.
+    Returns (values, found)."""
+    n = values.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    nn = valid
+    cnt = jnp.cumsum(nn.astype(jnp.int64))           # non-nulls ≤ i
+    rank = cnt - 1                                    # own rank if nn
+    # position of the r-th non-null (global dense table)
+    nzpos = jnp.zeros((n + 1,), jnp.int64).at[
+        jnp.where(nn, rank, n)].set(idx, mode="drop")
+    before_part = jnp.where(part_start > 0,
+                            cnt[jnp.maximum(part_start - 1, 0)], 0)
+    if offset < 0:                                    # lag: k-th before
+        tgt = cnt - nn.astype(jnp.int64) - (-offset) + 1 - 1
+        found = tgt >= before_part
+    else:                                             # lead: k-th after
+        tgt = cnt + offset - 1
+        part_end = peer_ends(part_start)
+        found = tgt <= cnt[part_end] - 1
+    pos = nzpos[jnp.clip(tgt, 0, n)]
+    return values[jnp.clip(pos, 0, n - 1)], found
+
+
+def nonnull_frame_edge(valid: jnp.ndarray, lo: jnp.ndarray,
+                       hi: jnp.ndarray, first: bool):
+    """Position of the first (or last) NON-NULL row inside [lo, hi]
+    (first_value/last_value IGNORE NULLS).  Returns (pos, found)."""
+    n = valid.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(valid, idx, n))))                  # next non-null ≥ i
+    prv = _cummax(jnp.where(valid, idx, -1))         # prev non-null ≤ i
+    if first:
+        pos = nxt[jnp.clip(lo, 0, n - 1)]
+        return pos, (pos <= hi) & (lo <= hi)
+    pos = prv[jnp.clip(hi, 0, n - 1)]
+    return pos, (pos >= lo) & (lo <= hi)
+
+
 def framed_sum(values: jnp.ndarray, mask: jnp.ndarray,
                lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     """sum over sorted positions [lo, hi] via prefix sums (exact: clamped

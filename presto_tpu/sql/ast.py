@@ -75,6 +75,7 @@ class WindowExpr(Node):
     partition_by: List[Node]
     order_by: List["OrderItem"]
     frame: Optional["WindowFrame"] = None
+    ignore_nulls: bool = False       # lead/lag/first/last/nth IGNORE NULLS
 
 
 @dataclass

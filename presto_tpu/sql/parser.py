@@ -29,8 +29,9 @@ KEYWORDS = {
     "interval", "extract", "substring", "distinct", "asc", "desc", "join",
     "inner", "left", "right", "outer", "cross", "on", "with", "for", "union",
     "all", "year", "month", "day", "true", "false", "over", "partition",
-    "rows", "range", "unbounded", "preceding", "following", "current", "row",
-    "except", "intersect", "timestamp",
+    "rows", "range", "groups", "unbounded", "preceding", "following",
+    "current", "row", "except", "intersect", "timestamp", "ignore",
+    "respect", "nulls",
 }
 
 
@@ -528,7 +529,17 @@ def parse(sql: str) -> ast.Select:
 
 def _install_window_parsing():
     def _maybe_window(self, call):
+        # null-treatment clause (reference: SqlBase.g4 nullTreatment —
+        # lead/lag/first/last/nth_value IGNORE NULLS)
+        ignore_nulls = False
+        if self.accept("kw", "ignore"):
+            self.expect("kw", "nulls")
+            ignore_nulls = True
+        elif self.accept("kw", "respect"):
+            self.expect("kw", "nulls")
         if not self.accept("kw", "over"):
+            if ignore_nulls:
+                raise ValueError("IGNORE NULLS requires an OVER clause")
             return call
         self.expect("op", "(")
         partition = []
@@ -551,7 +562,7 @@ def _install_window_parsing():
                 if not self.accept("op", ","):
                     break
         frame = None
-        if self.at_kw("rows", "range"):
+        if self.at_kw("rows", "range", "groups"):
             kind = self.next().value
 
             def bound():
@@ -574,7 +585,7 @@ def _install_window_parsing():
                 end = ("current", 0)
             frame = ast.WindowFrame(kind, start, end)
         self.expect("op", ")")
-        return ast.WindowExpr(call, partition, order, frame)
+        return ast.WindowExpr(call, partition, order, frame, ignore_nulls)
 
     Parser._maybe_window = _maybe_window
 

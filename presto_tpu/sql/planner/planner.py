@@ -819,7 +819,8 @@ class Planner:
                 if w.frame is not None:
                     frame = (w.frame.kind, tuple(w.frame.start),
                              tuple(w.frame.end))
-                specs.append(P.WindowSpec(name, fname, arg, offset, frame))
+                specs.append(P.WindowSpec(name, fname, arg, offset, frame,
+                                          ignore_nulls=w.ignore_nulls))
                 self._window_map[id(w)] = ir.ColumnRef(name, dtype)
                 cur.scope.add(None, name, name, dtype)
                 cur.columns.add(name)

@@ -72,3 +72,20 @@ def test_free_path_not_partitioned(free):
     free.ctx.spill_partitions = 0
     free.run_sql(JOIN_SQL, fused=False)
     assert free.ctx.spill_partitions == 0
+
+
+SORT_SQL = """
+ select o_orderkey, o_totalprice from orders
+ where o_custkey <= 600 order by o_totalprice desc, o_orderkey
+"""
+
+
+def test_sort_spill_ordered(free, tight):
+    exp = free.run_sql(SORT_SQL, fused=False).to_pandas()
+    tight.ctx.spill_partitions = 0
+    got = tight.run_sql(SORT_SQL, fused=False).to_pandas()
+    # ORDER-sensitive comparison: partition-order concat must be the
+    # globally sorted sequence
+    assert got.o_orderkey.tolist() == exp.o_orderkey.tolist()
+    assert got.o_totalprice.tolist() == exp.o_totalprice.tolist()
+    assert tight.ctx.spill_partitions >= 2

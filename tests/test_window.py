@@ -169,3 +169,79 @@ def test_range_current_row_includes_peers(runner):
     want = e.o_orderpriority.map(totals)
     assert g.peers_sum.astype(np.int64).tolist() == \
         want.astype(np.int64).tolist()
+
+
+def test_groups_frame(runner):
+    """GROUPS frames count peer groups (reference GroupsFraming)."""
+    sql = """
+    select o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+      sum(o_totalprice) over (partition by o_custkey
+         order by o_orderpriority
+         groups between 1 preceding and current row) g1,
+      count(*) over (partition by o_custkey order by o_orderpriority
+         groups between current row and 1 following) g2
+    from orders where o_custkey <= 30
+    """
+    got = runner.run_sql(sql).to_pandas().sort_values(
+        "o_orderkey").reset_index(drop=True)
+    o = odf()
+    d = o[o.o_custkey <= 30]
+
+    def brute(row, pre, fol, agg):
+        part = d[d.o_custkey == row.o_custkey]
+        groups = sorted(part.o_orderpriority.unique())
+        gi = groups.index(row.o_orderpriority)
+        sel = groups[max(gi - pre, 0):gi + fol + 1]
+        rows = part[part.o_orderpriority.isin(sel)]
+        return agg(rows)
+
+    e = d.sort_values("o_orderkey").reset_index(drop=True)
+    want_g1 = [int(brute(r, 1, 0, lambda x: x.o_totalprice.sum()))
+               for r in e.itertuples()]
+    want_g2 = [int(brute(r, 0, 1, len)) for r in e.itertuples()]
+    assert got.g1.astype(np.int64).tolist() == want_g1
+    assert got.g2.astype(np.int64).tolist() == want_g2
+
+
+def test_ignore_nulls(runner):
+    """lead/lag/first/last IGNORE NULLS vs a nullable expression."""
+    sql = """
+    select o_orderkey,
+      lag(nullif(o_shippriority, 0)) ignore nulls over
+        (partition by o_custkey order by o_orderkey) ln,
+      lag(nullif(o_totalprice, 0)) ignore nulls over
+        (partition by o_custkey order by o_orderkey) lp,
+      first_value(nullif(o_totalprice, 0)) ignore nulls over
+        (partition by o_custkey order by o_orderkey) fv
+    from orders where o_custkey <= 40
+    """
+    got = runner.run_sql(sql).to_pandas().sort_values(
+        "o_orderkey").reset_index(drop=True)
+    o = odf()
+    d = o[o.o_custkey <= 40].copy()
+    d["np_"] = d.o_totalprice.where(d.o_totalprice != 0)
+    d = d.sort_values("o_orderkey")
+    grp = d.groupby("o_custkey")
+    # o_shippriority is all zeros → nullif always NULL → lag stays NULL
+    assert got.ln.isna().all()
+    want_lp = grp.np_.apply(
+        lambda s: s.ffill().shift(1)).reset_index(level=0, drop=True)
+    want_lp = want_lp.loc[d.index]
+    got_lp = got.lp.values
+    exp_lp = want_lp.values
+    both = ~(pd.isna(exp_lp) | pd.isna(got_lp))
+    assert (pd.isna(exp_lp) == pd.isna(got_lp)).all()
+    assert np.array_equal(got_lp[both].astype(np.int64),
+                          exp_lp[both].astype(np.int64))
+    # first non-null per partition (default frame ends at current peer =
+    # current row since o_orderkey unique): running first non-null
+    want_fv = grp.np_.apply(
+        lambda s: s.expanding().apply(
+            lambda w: w.dropna().iloc[0] if w.notna().any() else np.nan)
+    ).reset_index(level=0, drop=True).loc[d.index]
+    got_fv = got.fv.values
+    exp_fv = want_fv.values
+    assert (pd.isna(exp_fv) == pd.isna(got_fv)).all()
+    b2 = ~pd.isna(exp_fv)
+    assert np.array_equal(got_fv[b2].astype(np.int64),
+                          exp_fv[b2].astype(np.int64))
