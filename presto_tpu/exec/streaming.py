@@ -54,6 +54,61 @@ def find_streamable_agg(plan: PH.PhysOp
     return above, agg, below.table
 
 
+# tables whose named key is monotone in generator row/unit order — the
+# split-pruning targets (``TpchMetadata`` orderkey/custkey… orderings)
+MONOTONE_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey",
+                 "customer": "c_custkey", "part": "p_partkey",
+                 "supplier": "s_suppkey"}
+
+
+def pruned_unit_range(agg_child: PH.PhysOp, scan: PH.PhysScan, table: str,
+                      total_units: int):
+    """(first_unit, n_units) covering the scan filters' provable domain
+    over the table's monotone key — TupleDomain-driven split pruning
+    (reference: ``DomainTranslator`` + ``ConnectorMetadata.applyFilter``;
+    here splits are generator unit ranges)."""
+    from ..sql import ir
+    from ..sql.planner import domains as DOM
+
+    keycol = MONOTONE_KEYS.get(table)
+    if keycol is None:
+        return 0, total_units
+    name = scan.alias_prefix + keycol
+    dom = DOM.ALL
+    node = agg_child
+    while isinstance(node, (PH.PhysFilter, PH.PhysProject)):
+        if isinstance(node, PH.PhysFilter):
+            d = DOM.extract(node.predicate).get(name)
+            if d is not None:
+                dom = dom.intersect(d)
+        else:
+            passthrough = any(
+                n == name and isinstance(e, ir.ColumnRef) and e.name == name
+                for n, e in node.projections)
+            if not passthrough:
+                # the namespace above this projection doesn't contain the
+                # key as-is: constraints gathered so far are unreliable
+                dom = DOM.ALL
+        node = node.children()[0]
+    if dom.is_all:
+        return 0, total_units
+    if dom.none:
+        return 0, 0
+    if table in ("orders", "lineitem"):
+        # invert the dbgen sparse orderkey (8 used keys per 32-key block)
+        def inv(k):
+            k = int(k)
+            return (k >> 5) * 8 + min(k & 31, 7)
+        lo_u = 0 if dom.lo is None else max(inv(dom.lo) - 1, 0)
+        hi_u = total_units if dom.hi is None \
+            else min(inv(dom.hi) + 1, total_units)
+    else:  # dense 1-based keys: key = unit index + 1
+        lo_u = 0 if dom.lo is None else max(int(dom.lo) - 1, 0)
+        hi_u = total_units if dom.hi is None \
+            else min(int(dom.hi), total_units)
+    return lo_u, max(hi_u - lo_u, 0)
+
+
 def _substitute_scan(node: PH.PhysOp, chunk: Chunk) -> PH.PhysOp:
     if isinstance(node, PH.PhysScan):
         # alias prefix is already applied by scan_slice caller
@@ -82,17 +137,23 @@ def run_streaming_agg(runner, plan: PH.PhysOp,
         scan = scan.children()[0]
     total = ds.table_rows(table)
     ctx = PH.ExecContext(ds)
+    lo, cnt = pruned_unit_range(agg.child, scan, table, total)
+    if cnt == 0:
+        # provably-empty domain: still run one unit through the real
+        # filter so empty-aggregate semantics fall out naturally
+        lo, cnt = 0, min(total, 1)
+    end = lo + cnt
 
     if not agg.groups:
         return _stream_global(runner, plan, above, agg, scan, total,
-                              slice_rows, ctx)
+                              slice_rows, ctx, lo, end)
 
     capacity = max(64, HT.capacity_for(agg.ndv_hint * 2))
     partials: List[Chunk] = []
     state_specs = None
-    first = 0
-    while first < total:
-        n = min(slice_rows, total - first)
+    first = lo
+    while first < end:
+        n = min(slice_rows, end - first)
         slice_chunk = ds.scan_slice(table, sorted(set(scan.columns)), first,
                                     n)
         if scan.alias_prefix:
@@ -184,7 +245,8 @@ def _merge_states_only(agg, partials: Chunk, state_specs, capacity: int):
     return Chunk(out, gvalid), ovf
 
 
-def _stream_global(runner, plan, above, agg, scan, total, slice_rows, ctx):
+def _stream_global(runner, plan, above, agg, scan, total, slice_rows, ctx,
+                   lo=0, end=None):
     """Global (no GROUP BY) streaming: per-slice one-row partials, merged
     by a final global aggregation over the concatenated partial rows."""
     from ..sql import ir
@@ -204,9 +266,10 @@ def _stream_global(runner, plan, above, agg, scan, total, slice_rows, ctx):
     part_plan = PH.PhysHashAggregate(None, (), tuple(expanded), 1)
 
     parts: List[Chunk] = []
-    first = 0
-    while first < total:
-        n = min(slice_rows, total - first)
+    first = lo
+    end = total if end is None else end
+    while first < end:
+        n = min(slice_rows, end - first)
         slice_chunk = ds.scan_slice(scan.table, sorted(set(scan.columns)),
                                     first, n)
         if scan.alias_prefix:

@@ -70,42 +70,57 @@ def _pad_to(x, n, fill=0):
 
 # ---------------------------------------------------------------- masked sum
 
-def _masked_sum_kernel(vals_ref, mask_ref, out_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    v = vals_ref[:].astype(jnp.int64)
+def _masked_sum_kernel(lo_ref, hi_ref, mask_ref, olo_ref, ohi_ref):
     m = mask_ref[:]
-    out_ref[:] += jnp.sum(jnp.where(m, v, 0), axis=0, keepdims=True)
+    olo_ref[:] = jnp.sum(jnp.where(m, lo_ref[:], 0), axis=0, keepdims=True)
+    ohi_ref[:] = jnp.sum(jnp.where(m, hi_ref[:], 0), axis=0, keepdims=True)
+
+
+_SPLIT = 18  # low bits per int32 word
 
 
 def masked_sum(values: jnp.ndarray, mask: jnp.ndarray,
                interpret: bool = False) -> jnp.ndarray:
-    """sum(values where mask) via a blocked streaming Pallas reduction."""
+    """sum(values where mask) via a blocked streaming Pallas reduction.
+
+    TPU Pallas has no int64 reductions, so the int64 addends split into
+    (hi<<18)+lo int32 words; each grid step emits per-lane int32 partial
+    sums (64 rows/step keeps both words overflow-free for |v| < 2^43) and
+    XLA recombines in int64.  Correct for |values| < 2^43 — the caller's
+    addend domain (unscaled decimals of TPC-H magnitude)."""
     n = values.shape[0]
     padded = pl.cdiv(max(n, 1), BLOCK) * BLOCK
-    v = _pad_to(values.astype(jnp.int64), padded).reshape(-1, LANES)
+    v64 = _pad_to(values.astype(jnp.int64), padded)
+    vlo = (v64 & ((1 << _SPLIT) - 1)).astype(jnp.int32).reshape(-1, LANES)
+    vhi = (v64 >> _SPLIT).astype(jnp.int32).reshape(-1, LANES)
     m = _pad_to(mask, padded, False).reshape(-1, LANES)
     rows = BLOCK // LANES
-    grid = v.shape[0] // rows
-    out = pl.pallas_call(
+    grid = vlo.shape[0] // rows
+    olo, ohi = pl.pallas_call(
         _masked_sum_kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.ANY if False else pltpu.VMEM),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.int64),
+        out_specs=[
+            pl.BlockSpec((1, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, LANES), jnp.int32),
+        ],
         interpret=interpret,
-    )(v, m)
-    return jnp.sum(out)
+    )(vlo, vhi, m)
+    return (jnp.sum(olo.astype(jnp.int64))
+            + (jnp.sum(ohi.astype(jnp.int64)) << _SPLIT))
 
 
 # ---------------------------------------------------------------- hash probe

@@ -400,6 +400,7 @@ def _exchange_join_inputs(plan: PH.PhysHashJoin, probe: Chunk, prep: bool,
     probe of any key are device-local (AddExchanges partitionedExchange).
 
     Returns (probe, build, out_replicated)."""
+    probe = _traced_dynamic_filter(plan, probe, build_local, brep, ctx)
     partitioned = (plan.dist_type == "partitioned" and not ctx.single
                    and not brep)
     if not partitioned:
@@ -451,6 +452,39 @@ def _exchange_join_inputs(plan: PH.PhysHashJoin, probe: Chunk, prep: bool,
                                    est_total_rows=best)
         ctx.report_overflow(plan, "xb", b_ovf)
     return probe, build, False
+
+
+def _traced_dynamic_filter(plan: PH.PhysHashJoin, probe: Chunk,
+                           build_local: Chunk, brep: bool,
+                           ctx: TraceCtx) -> Chunk:
+    """Distributed dynamic filtering (reference:
+    ``DynamicFilterSourceOperator`` + ``server/DynamicFilterService``):
+    the build side's GLOBAL key min/max (two scalar collectives over ICI)
+    narrows the probe mask BEFORE the exchange — masked rows are never
+    routed, so bucket pressure and retry risk drop where the reference
+    saves probe-scan IO."""
+    if ctx.single or plan.kind not in ("inner", "semi") \
+            or len(plan.probe_keys) != 1:
+        return probe
+    try:
+        bk = eval_expr(plan.build_keys[0], build_local)
+        pk = eval_expr(plan.probe_keys[0], probe)
+    except Exception:  # noqa: BLE001 — key not evaluable pre-exchange
+        return probe
+    if bk.kind != PLAIN or pk.kind != PLAIN or bk.values.ndim != 1 \
+            or pk.values.ndim != 1:
+        return probe
+    bmask = build_local.mask & bk.valid_or_true()
+    bv = bk.values.astype(jnp.int64)
+    lmin = jnp.min(jnp.where(bmask, bv, A.I64_MAX))
+    lmax = jnp.max(jnp.where(bmask, bv, A.I64_MIN))
+    if brep:
+        gmin, gmax = lmin, lmax   # build already replicated: local = global
+    else:
+        gmin = jax.lax.pmin(lmin, "d")
+        gmax = jax.lax.pmax(lmax, "d")
+    pv = pk.values.astype(jnp.int64)
+    return Chunk(probe.cols, probe.mask & (pv >= gmin) & (pv <= gmax))
 
 
 def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:

@@ -22,3 +22,21 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 assert not jax._src.xla_bridge._backends, "XLA backend initialized before conftest"
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs():
+    """XLA's CPU compiler segfaults when hundreds of compiled executables
+    accumulate in one process (observed deterministically ~25% through the
+    full suite: SIGSEGV inside ``backend_compile_and_load`` while compiling
+    yet another shard_map program).  Dropping JAX's compiled-program caches
+    at module boundaries keeps the compiler's working set bounded; each
+    module recompiles what it needs."""
+    yield
+    gc.collect()
+    jax.clear_caches()

@@ -125,3 +125,23 @@ def test_query_under_memory_budget(runner):
     tight.datasource.pool.budget = 4 << 20
     got = _norm(tight.run_sql(QUERIES[6]).to_pandas())
     assert got == ref
+
+
+def test_streaming_split_pruning():
+    """A filter on the monotone key prunes generator slices entirely
+    (TupleDomain → split pruning; reference ConnectorMetadata.applyFilter)."""
+    from presto_tpu.exec.runner import LocalRunner
+    full = LocalRunner(scale_factor=SF)
+    want = _norm(full.run_sql(
+        "select o_orderpriority, count(*) c, sum(o_totalprice) s "
+        "from orders where o_orderkey between 1000 and 2000 "
+        "group by o_orderpriority").to_pandas())
+    pruned = LocalRunner(scale_factor=SF)
+    got = _norm(pruned.run_sql_streaming(
+        "select o_orderpriority, count(*) c, sum(o_totalprice) s "
+        "from orders where o_orderkey between 1000 and 2000 "
+        "group by o_orderpriority", slice_rows=500).to_pandas())
+    assert sorted(map(repr, got)) == sorted(map(repr, want))
+    # orders SF0.01 = 15000 units; keys 1000..2000 cover ~250+2 units →
+    # at most 2 slices of 500 (vs 30 unpruned)
+    assert pruned.datasource.ingest_slices <= 3
