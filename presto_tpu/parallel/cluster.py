@@ -81,8 +81,11 @@ class ClusterSupervisor:
     def __init__(self, scale_factor: float, n_workers: Optional[int] = None,
                  min_workers: int = 1, heartbeat_timeout_s: float = 0.5,
                  heartbeat_interval_s: float = 0.05, max_attempts: int = 3,
-                 admission_timeout_s: float = 5.0, **runner_opts):
+                 admission_timeout_s: float = 5.0,
+                 resource_groups=None, **runner_opts):
         import jax
+        # optional per-group admission (resource_groups.ResourceGroupManager)
+        self.resource_groups = resource_groups
         n = n_workers or len(jax.devices())
         self.sf = scale_factor
         self.min_workers = min_workers
@@ -131,11 +134,18 @@ class ClusterSupervisor:
                     f"(active: {self.detector.active()})")
             time.sleep(0.01)
 
-    def run_sql(self, sql: str):
-        """Admission gate → attempt loop; a lost worker invalidates the
-        attempt and replays on the surviving mesh."""
+    def run_sql(self, sql: str, user: str = "presto"):
+        """Admission gates (cluster size, then resource group) → attempt
+        loop; a lost worker invalidates the attempt and replays on the
+        surviving mesh."""
         self._await_admission()
+        if self.resource_groups is not None:
+            with self.resource_groups.acquire(
+                    user, timeout_s=self.admission_timeout_s):
+                return self._run_attempts(sql)
+        return self._run_attempts(sql)
 
+    def _run_attempts(self, sql: str):
         def attempt(participants: List[str]):
             self.attempts += 1
             for hook in self.on_attempt_start:
