@@ -158,6 +158,28 @@ class WindowSpec:
 
 
 @dataclass
+class PhysMatchRecognize(PhysOp):
+    """Row-pattern recognition, ONE ROW PER MATCH / SKIP PAST LAST ROW.
+
+    Replaces ``operator/window/PatternRecognitionPartition.java``'s
+    per-row backtracking: DEFINE predicates evaluate vectorized into a
+    per-row bitmask, the pattern's DFA advances for every candidate start
+    in lockstep (``ops/pattern.py``), skip resolution is one while_loop."""
+
+    child: PhysOp
+    partition: Tuple[ir.Expr, ...]
+    order: Tuple[Tuple[ir.Expr, bool], ...]
+    # (output name, func, arg): func ∈ first|last|count|match_number
+    measures: Tuple[Tuple[str, str, Optional[ir.Expr]], ...]
+    pattern: object                  # ops.pattern AST
+    defines: Tuple[Tuple[str, ir.Expr], ...]
+    window: int = 256                # max rows per match (static bound)
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclass
 class PhysWindow(PhysOp):
     """Window functions over (PARTITION BY, ORDER BY) specs.
 
@@ -324,6 +346,8 @@ def _execute_node(plan: PhysOp, ctx: ExecContext) -> Chunk:
         return _exec_scalar_bind(plan, ctx)
     if isinstance(plan, PhysWindow):
         return _exec_window(plan, ctx)
+    if isinstance(plan, PhysMatchRecognize):
+        return _exec_match_recognize(plan, ctx)
     if isinstance(plan, PhysConcat):
         return concat_chunks([execute(c, ctx) for c in plan.inputs])
     raise NotImplementedError(type(plan).__name__)
@@ -733,6 +757,121 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
             out_valid = jnp.zeros((n,), jnp.bool_).at[perm].set(valid)
         out_cols[spec.name] = DCol(ot, PLAIN, out_v, validity=out_valid)
     return Chunk(out_cols, chunk.mask)
+
+
+def _replace_shifted(e: ir.Expr, names: Dict[ir.Shifted, str]) -> ir.Expr:
+    """Swap Shifted nodes for the materialized shifted-column refs."""
+    import dataclasses as _dc
+    if isinstance(e, ir.Shifted):
+        return ir.ColumnRef(names[e], e.dtype)
+    if isinstance(e, ir.Case):
+        return ir.Case(
+            tuple((_replace_shifted(c, names), _replace_shifted(v, names))
+                  for c, v in e.whens),
+            None if e.default is None else _replace_shifted(e.default,
+                                                            names),
+            e._dtype)
+    kids = e.children()
+    if not kids:
+        return e
+    new_kids = [_replace_shifted(k, names) for k in kids]
+    if all(a is b for a, b in zip(kids, new_kids)):
+        return e
+    repl = {}
+    i = 0
+    for f in _dc.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, ir.Expr):
+            repl[f.name] = new_kids[i]
+            i += 1
+        elif isinstance(v, tuple) and v and all(
+                isinstance(x, ir.Expr) for x in v):
+            repl[f.name] = tuple(new_kids[i:i + len(v)])
+            i += len(v)
+    return _dc.replace(e, **repl)
+
+
+def _exec_match_recognize(plan: PhysMatchRecognize,
+                          ctx: ExecContext) -> Chunk:
+    """ONE ROW PER MATCH / SKIP PAST LAST ROW row-pattern matching: sort
+    by (partition, order), evaluate DEFINE predicates vectorized, run the
+    compiled DFA for every start in lockstep, resolve skips, gather
+    measures (see ``ops/pattern.py`` for the design)."""
+    from ..ops import pattern as PT
+    from ..ops import window as W
+
+    child = execute(plan.child, ctx)
+    count = int(jnp.sum(child.mask))
+    child = _compact_kernel(child, max(HT.next_pow2(max(count, 1)), 64))
+
+    pk = _window_norm_keys(child, plan.partition)
+    ok = _window_norm_keys(child, tuple(e for e, _ in plan.order),
+                           [d for _, d in plan.order])
+    keys = pk + ok
+    perm = SORT.argsort_multi(keys, child.mask)
+    scols = {n: c.take(perm) for n, c in child.cols.items()}
+    smask = child.mask[perm]
+    n = smask.shape[0]
+    part_start, _ = W.make_boundaries([k[perm] for k, _ in keys],
+                                      len(pk), smask)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    new_part = part_start == idx
+
+    # materialize PREV/NEXT columns (NULL across partition boundaries)
+    aug = dict(scols)
+    shifted_names: Dict[ir.Shifted, str] = {}
+    for _, pred in plan.defines:
+        for sub in ir.walk(pred):
+            if isinstance(sub, ir.Shifted) and sub not in shifted_names:
+                name = f"#sh{sub.offset}_{sub.arg.name}"
+                shifted_names[sub] = name
+                if name not in aug:
+                    src = idx + sub.offset
+                    inb = (src >= 0) & (src < n)
+                    src_c = jnp.clip(src, 0, n - 1)
+                    same = part_start[src_c] == part_start
+                    c = aug[sub.arg.name]
+                    valid = (inb & same & smask[src_c]
+                             & c.valid_or_true()[src_c])
+                    aug[name] = c.take(src_c, valid=valid)
+    aug_chunk = Chunk(aug, smask)
+
+    # per-row predicate bitmask
+    code = jnp.zeros((n,), jnp.int32)
+    for i, (_, pred) in enumerate(plan.defines):
+        b = eval_predicate(_replace_shifted(pred, shifted_names),
+                           aug_chunk) & smask
+        code = code | (b.astype(jnp.int32) << i)
+    code = jnp.where(smask, code, -1)
+
+    compiled = plan.__dict__.get("_compiled")
+    if compiled is None:
+        compiled = PT.compile_pattern(plan.pattern,
+                                      [s for s, _ in plan.defines])
+        plan.__dict__["_compiled"] = compiled
+    mlen = PT.match_lengths(code, new_part, compiled, plan.window)
+    sel = PT.select_matches(mlen, smask)
+    if bool(jnp.any(sel & (mlen >= plan.window))):
+        raise NotImplementedError(
+            f"match exceeds the {plan.window}-row window bound")
+
+    match_number = jnp.cumsum(sel.astype(jnp.int64))
+    last_i = jnp.clip(idx + mlen.astype(jnp.int64) - 1, 0, n - 1)
+    out: Dict[str, DCol] = {}
+    for pe in plan.partition:
+        out[pe.name] = aug_chunk.cols[pe.name]
+    for mname, func, arg in plan.measures:
+        if func == "count":
+            out[mname] = DCol(T.BIGINT, PLAIN, mlen.astype(jnp.int64))
+        elif func == "match_number":
+            out[mname] = DCol(T.BIGINT, PLAIN, match_number)
+        else:
+            c = eval_expr(arg, aug_chunk)
+            if func == "first":
+                out[mname] = c
+            else:  # last
+                out[mname] = c.take(last_i, valid=sel)
+    return _maybe_compact(Chunk(out, sel & smask), ctx)
 
 
 def _exec_window(plan: PhysWindow, ctx: ExecContext) -> Chunk:

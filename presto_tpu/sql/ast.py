@@ -194,6 +194,20 @@ class JoinRef(Node):
     on: Optional[Node]
 
 
+@dataclass
+class MatchRecognizeRef(Node):
+    """FROM t MATCH_RECOGNIZE (...) — row-pattern recognition
+    (reference: ``sql/tree/PatternRecognitionRelation.java``)."""
+
+    source: Node                             # TableRef
+    partition_by: List[Node]
+    order_by: List["OrderItem"]
+    measures: List[Tuple[Node, str]]         # (expr, output name)
+    pattern: object                          # ops.pattern Sym/Seq/Alt/Quant
+    defines: List[Tuple[str, Node]]          # (symbol, predicate)
+    alias: Optional[str] = None
+
+
 # --- query ---
 
 @dataclass

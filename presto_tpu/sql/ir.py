@@ -113,6 +113,25 @@ class Logical(Expr):
 
 
 @dataclass(frozen=True)
+class Shifted(Expr):
+    """PREV/NEXT navigation inside MATCH_RECOGNIZE DEFINE predicates:
+    the referenced column's value ``offset`` rows away in the sorted
+    partition (NULL across partition boundaries).  Materialized by the
+    pattern kernel before predicate evaluation — never reaches
+    eval_expr directly."""
+
+    arg: Expr                       # ColumnRef
+    offset: int                     # -k = PREV(x, k); +k = NEXT(x, k)
+
+    def children(self):
+        return (self.arg,)
+
+    @property
+    def dtype(self):
+        return self.arg.dtype
+
+
+@dataclass(frozen=True)
 class Not(Expr):
     arg: Expr
 

@@ -19,7 +19,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<qident>"[^"]*")
   | (?P<string>'(?:[^']|'')*')
   | (?P<name>[A-Za-z_][A-Za-z0-9_$]*)
-  | (?P<op><>|!=|>=|<=|\|\||[-+*/(),.;=<>])
+  | (?P<op><>|!=|>=|<=|\|\||[-+*/(),.;=<>?|])
 """, re.X | re.S)
 
 KEYWORDS = {
@@ -290,12 +290,116 @@ class Parser:
         parts = [self.expect("name").value]
         while self.accept("op", "."):
             parts.append(self.expect("name").value)
+        if self.peek().kind == "name" \
+                and self.peek().value == "match_recognize":
+            self.next()
+            return self._parse_match_recognize(
+                ast.TableRef(tuple(parts), None))
         alias = None
         if self.accept("kw", "as"):
             alias = self.expect("name").value
         elif self.peek().kind == "name":
             alias = self.next().value
         return ast.TableRef(tuple(parts), alias)
+
+    def _name(self, value) -> bool:
+        return self.peek().kind == "name" and self.peek().value == value
+
+    def _parse_match_recognize(self, source):
+        """MATCH_RECOGNIZE clause (reference grammar: SqlBase.g4
+        patternRecognition; subset — ONE ROW PER MATCH, AFTER MATCH SKIP
+        PAST LAST ROW, concatenation/alternation/+*? quantifiers)."""
+        self.expect("op", "(")
+        partition, order, measures, defines = [], [], [], []
+        if self.accept("kw", "partition"):
+            self.expect("kw", "by")
+            partition.append(self.parse_expr())
+            while self.accept("op", ","):
+                partition.append(self.parse_expr())
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                e = self.parse_expr()
+                desc = bool(self.accept("kw", "desc"))
+                if not desc:
+                    self.accept("kw", "asc")
+                order.append(ast.OrderItem(e, desc))
+                if not self.accept("op", ","):
+                    break
+        if self._name("measures"):
+            self.next()
+            while True:
+                e = self.parse_expr()
+                self.expect("kw", "as")
+                measures.append((e, self.expect("name").value))
+                if not self.accept("op", ","):
+                    break
+        if self._name("one"):           # ONE ROW PER MATCH (the default)
+            self.next()
+            self.expect("kw", "row")
+            for w in ("per", "match"):
+                tok = self.next()
+                assert tok.value == w, f"expected {w.upper()}"
+        if self._name("after"):         # AFTER MATCH SKIP PAST LAST ROW
+            self.next()
+            for w in ("match", "skip", "past"):
+                tok = self.next()
+                assert tok.value == w, f"expected {w.upper()}"
+            tok = self.next()           # LAST (kw or name)
+            assert tok.value == "last", "only SKIP PAST LAST ROW supported"
+            self.expect("kw", "row")
+        assert self._name("pattern"), "PATTERN clause required"
+        self.next()
+        self.expect("op", "(")
+        pattern = self._parse_pattern_alt()
+        self.expect("op", ")")
+        assert self._name("define"), "DEFINE clause required"
+        self.next()
+        while True:
+            sym = self.expect("name").value
+            self.expect("kw", "as")
+            defines.append((sym, self.parse_expr()))
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self.expect("name").value
+        elif self.peek().kind == "name":
+            alias = self.next().value
+        return ast.MatchRecognizeRef(source, partition, order, measures,
+                                     pattern, defines, alias)
+
+    def _parse_pattern_alt(self):
+        """alternation → sequence → quantified factor (row-pattern
+        grammar; nodes from ops/pattern.py)."""
+        from ..ops import pattern as PT
+
+        def factor():
+            if self.accept("op", "("):
+                node = self._parse_pattern_alt()
+                self.expect("op", ")")
+            else:
+                node = PT.Sym(self.expect("name").value)
+            while self.peek().kind == "op" \
+                    and self.peek().value in ("+", "*", "?"):
+                node = PT.Quant(node, self.next().value)
+            return node
+
+        def seq():
+            parts = [factor()]
+            while self.peek().kind == "name" \
+                    or (self.peek().kind == "op"
+                        and self.peek().value == "("):
+                parts.append(factor())
+            return parts[0] if len(parts) == 1 else PT.Seq(tuple(parts))
+
+        options = [seq()]
+        while self.accept("op", "|"):
+            options.append(seq())
+        return options[0] if len(options) == 1 else PT.Alt(tuple(options))
+
+    # --- expressions (precedence climbing) ---
 
     # --- expressions (precedence climbing) ---
 

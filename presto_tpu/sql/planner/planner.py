@@ -272,6 +272,85 @@ class Planner:
         est = SCH.CATALOG.row_count(SCH.TableHandle(name, self.sf))
         return Rel(plan, scope, cols, uk, est)
 
+    def plan_match_recognize(self, r: "ast.MatchRecognizeRef") -> Rel:
+        """FROM t MATCH_RECOGNIZE (...) → PhysMatchRecognize Rel.
+
+        Output scope: PARTITION BY columns (under their names) + measure
+        names.  Reference: ``sql/tree/PatternRecognitionRelation`` analyzed
+        by ``StatementAnalyzer.visitPatternRecognitionRelation``."""
+        from ..ir import Shifted  # noqa: F401 (resolution target)
+        base = self.plan_table(r.source)
+        scope = base.scope
+        parts = []
+        for e in r.partition_by:
+            pe = self.resolve(e, scope, None)
+            assert isinstance(pe, ir.ColumnRef), \
+                "MATCH_RECOGNIZE PARTITION BY must be plain columns"
+            parts.append(pe)
+        order = tuple((self.resolve(it.expr, scope, None), it.descending)
+                      for it in r.order_by)
+        # pattern symbols: any symbol without a DEFINE matches every row
+        from ...ops import pattern as PT
+
+        def syms(node, out):
+            if isinstance(node, PT.Sym):
+                out.append(node.name)
+            elif isinstance(node, PT.Seq):
+                for p in node.parts:
+                    syms(p, out)
+            elif isinstance(node, PT.Alt):
+                for p in node.options:
+                    syms(p, out)
+            elif isinstance(node, PT.Quant):
+                syms(node.arg, out)
+        pat_syms: list = []
+        syms(r.pattern, pat_syms)
+        defined = {s for s, _ in r.defines}
+        self._mr_symbols = set(pat_syms) | defined
+        try:
+            defines = [(s, self.resolve(p, scope, None))
+                       for s, p in r.defines]
+            for s in dict.fromkeys(pat_syms):       # stable order
+                if s not in defined:
+                    defines.append((s, ir.Literal(True, T.BOOLEAN)))
+            measures = []
+            out_scope = Scope()
+            out_cols = set()
+            alias = r.alias
+            for pe, e in zip(parts, r.partition_by):
+                public = e.parts[-1] if isinstance(e, ast.Ident) else pe.name
+                out_scope.add(alias, public, pe.name, pe.dtype)
+                out_cols.add(pe.name)
+            for expr, mname in r.measures:
+                if isinstance(expr, ast.FuncCall) and expr.name in (
+                        "first", "last") and len(expr.args) == 1:
+                    arg = self.resolve(expr.args[0], scope, None)
+                    measures.append((mname, expr.name, arg))
+                    dtype = arg.dtype
+                elif isinstance(expr, ast.FuncCall) \
+                        and expr.name == "count":
+                    measures.append((mname, "count", None))
+                    dtype = T.BIGINT
+                elif isinstance(expr, ast.FuncCall) \
+                        and expr.name == "match_number":
+                    measures.append((mname, "match_number", None))
+                    dtype = T.BIGINT
+                else:
+                    # plain expression: FINAL LAST semantics (value at the
+                    # match's last row — Trino's default for ONE ROW PER
+                    # MATCH measures without navigation)
+                    arg = self.resolve(expr, scope, None)
+                    measures.append((mname, "last", arg))
+                    dtype = arg.dtype
+                out_scope.add(alias, mname, mname, dtype)
+                out_cols.add(mname)
+        finally:
+            self._mr_symbols = None
+        plan = P.PhysMatchRecognize(
+            base.plan, tuple(parts), order, tuple(measures), r.pattern,
+            tuple(defines))
+        return Rel(plan, out_scope, out_cols, [], base.est)
+
     def _plan_memory_table(self, ref: ast.TableRef, name: str) -> Rel:
         """Scan of a writable memory-catalog table (plugin/trino-memory)."""
         cols_types = self.extra_tables[name]
@@ -321,10 +400,17 @@ class Planner:
         r = self._resolve(node, scope, outer)
         return r
 
+    # MATCH_RECOGNIZE define/measure resolution context: symbol names whose
+    # qualifier strips to the source row, enabling PREV/NEXT navigation
+    _mr_symbols: Optional[set] = None
+
     def _resolve(self, node, scope, outer) -> ir.Expr:
         if isinstance(node, ast.Ident):
             if node.parts == ("null",):
                 return ir.Literal(None, T.BIGINT)
+            if self._mr_symbols and len(node.parts) == 2 \
+                    and node.parts[0] in self._mr_symbols:
+                node = ast.Ident((node.parts[1],))  # B.x → current row's x
             hit = scope.resolve(node.parts)
             if hit:
                 return ir.ColumnRef(hit[0], hit[1])
@@ -453,6 +539,16 @@ class Planner:
             raise NotImplementedError(
                 "scalar subquery in this position")
         if isinstance(node, ast.FuncCall):
+            if self._mr_symbols is not None and node.name in ("prev",
+                                                             "next"):
+                col = self._resolve(node.args[0], scope, outer)
+                k = 1
+                if len(node.args) > 1:
+                    lit = self._resolve(node.args[1], scope, outer)
+                    assert isinstance(lit, ir.Literal), \
+                        "PREV/NEXT offset must be a literal"
+                    k = int(lit.value)
+                return ir.Shifted(col, -k if node.name == "prev" else k)
             return self._resolve_scalar_func(node, scope, outer)
         raise NotImplementedError(type(node).__name__)
 
@@ -545,6 +641,8 @@ class Planner:
         def add_relation(r: ast.Node):
             if isinstance(r, ast.TableRef):
                 rels.append(self.plan_table(r))
+            elif isinstance(r, ast.MatchRecognizeRef):
+                rels.append(self.plan_match_recognize(r))
             elif isinstance(r, ast.SubqueryRef):
                 sub = self.plan_query(r.query, outer=None)
                 rels.append(self._aliased_subquery(sub, r.alias))

@@ -91,6 +91,15 @@ def prune(plan: P.PhysOp, required: Optional[Set[str]] = None) -> P.PhysOp:
         for c in plan.inputs:
             prune(c, None)  # inputs are pre-projected to exact outputs
         return plan
+    if isinstance(plan, P.PhysMatchRecognize):
+        child_req = _refs(
+            *plan.partition, *(e for e, _ in plan.order),
+            *(p for _, p in plan.defines),
+            *(a for _, _, a in plan.measures if a is not None))
+        # Shifted wraps a ColumnRef; referenced_columns reaches it via
+        # children(), so child_req already contains navigation sources
+        prune(plan.child, child_req or None)
+        return plan
     if isinstance(plan, P.PhysScalarBind):
         bound = {n for n, _ in plan.bindings}
         child_req = None if required is None else set(required) - bound

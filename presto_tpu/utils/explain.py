@@ -83,6 +83,10 @@ def _node_label(p: P.PhysOp) -> str:
         return f"Limit[{p.n}]"
     if isinstance(p, P.PhysScalarBind):
         return ("ScalarBind[" + ", ".join(n for n, _ in p.bindings) + "]")
+    if isinstance(p, P.PhysMatchRecognize):
+        return ("MatchRecognize[" + ", ".join(s for s, _ in p.defines)
+                + "] measures=["
+                + ", ".join(m for m, _, _ in p.measures) + "]")
     return type(p).__name__
 
 
