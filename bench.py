@@ -58,7 +58,9 @@ def _measure(platform=None):
             samples.append(time.perf_counter() - t0)
         times[qid] = float(np.median(samples))
         del out
-    n = runner.datasource.table_rows("lineitem")
+    from presto_tpu.tpch import generator
+    units = generator.total_unit_rows("lineitem", SF)
+    n = generator.slice_row_count("lineitem", SF, 0, units)  # real rows
     rows_per_s = 2 * n / (times[1] + times[6])
     dev = str(jax.devices()[0])
     plat_note = "" if "TPU" in dev.upper() else f" [{dev}]"
