@@ -21,8 +21,13 @@ def main():
     ap.add_argument("--path", default="fused", choices=["fused", "ops", "dist"])
     ap.add_argument("--queries", default=None,
                     help="comma-separated query ids (default all)")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (the ambient env forces "
+                         "the axon tunnel; JAX_PLATFORMS is ignored here)")
     args = ap.parse_args()
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_enable_x64", True)
 
     from presto_tpu.tpch.queries import QUERIES

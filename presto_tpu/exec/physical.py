@@ -924,11 +924,42 @@ _SUM_LIKE = {"sum", "avg"}
 VARIANCE_FUNCS = {"stddev", "stddev_samp", "stddev_pop", "variance",
                   "var_samp", "var_pop"}
 
+# two-argument moment aggregates (reference: operator/aggregation/
+# CorrelationAggregation, CovarianceAggregation, RegrSlope/Intercept);
+# states are plain sums, so they distribute partial→final like sum
+CORR_FUNCS = {"corr", "covar_samp", "covar_pop", "regr_slope",
+              "regr_intercept"}
+
+
+def _corr_finalize(func: str, n, sx, sy, sxy, sxx, syy):
+    """(value, validity) from the six moment sums (y = arg, x = arg2)."""
+    nf = jnp.maximum(n, 1.0)
+    dxy = sxy - sx * sy / nf
+    dxx = sxx - sx * sx / nf
+    dyy = syy - sy * sy / nf
+    if func == "covar_pop":
+        return dxy / nf, n >= 1
+    if func == "covar_samp":
+        return dxy / jnp.maximum(n - 1.0, 1.0), n >= 2
+    if func == "corr":
+        den = jnp.sqrt(jnp.maximum(dxx * dyy, 0.0))
+        return dxy / jnp.maximum(den, 1e-300), (n >= 1) & (den > 0)
+    slope = dxy / jnp.maximum(dxx, 1e-300)
+    ok = (n >= 1) & (dxx > 0)
+    if func == "regr_slope":
+        return slope, ok
+    return (sy - slope * sx) / nf, ok  # regr_intercept
+
+
+def _fvals(c: DCol) -> jnp.ndarray:
+    """Column values as float64 in logical units (decimals unscaled)."""
+    return c.values.astype(jnp.float64) / (10 ** _scale_of(c.dtype))
+
 
 def _agg_output_type(spec: AggSpec) -> T.DataType:
     if spec.func in ("count", "count_star", "approx_distinct"):
         return T.BIGINT
-    if spec.func in VARIANCE_FUNCS:
+    if spec.func in VARIANCE_FUNCS or spec.func in CORR_FUNCS:
         return T.DOUBLE
     if spec.func in ("bool_and", "bool_or"):
         return T.BOOLEAN
@@ -1094,6 +1125,18 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
             v = A.seg_any(b, slot, vmask, capacity)
         nonempty = A.seg_count(slot, vmask, capacity) > 0
         return DCol(T.BOOLEAN, PLAIN, v, validity=gvalid & nonempty)
+    if spec.func in CORR_FUNCS:
+        x = eval_expr(spec.arg2, chunk)
+        both = vmask & x.valid_or_true()
+        yf, xf = _fvals(c), _fvals(x)
+        nn = A.seg_count(slot, both, capacity).astype(jnp.float64)
+        sx = A.seg_sum(xf, slot, both, capacity, jnp.float64)
+        sy = A.seg_sum(yf, slot, both, capacity, jnp.float64)
+        sxy = A.seg_sum(xf * yf, slot, both, capacity, jnp.float64)
+        sxx = A.seg_sum(xf * xf, slot, both, capacity, jnp.float64)
+        syy = A.seg_sum(yf * yf, slot, both, capacity, jnp.float64)
+        v, ok = _corr_finalize(spec.func, nn, sx, sy, sxy, sxx, syy)
+        return DCol(T.DOUBLE, PLAIN, v, validity=gvalid & ok)
     if spec.func in ("min_by", "max_by"):
         # winner row per group = first row attaining the key extreme
         # (reference: operator/aggregation/minmaxby/*).  Rows with a NULL
@@ -1262,6 +1305,23 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
                     v = jnp.any(m & b)
                 out[spec.name] = DCol(T.BOOLEAN, PLAIN, v[None],
                                       validity=nonempty[None])
+            elif spec.func in CORR_FUNCS:
+                x = eval_expr(spec.arg2, chunk)
+                both = m & x.valid_or_true()
+                yf, xf = _fvals(c), _fvals(x)
+                nn = A.g_count(both).astype(jnp.float64)
+                sx = A.g_sum(jnp.where(both, xf, 0.0), both, jnp.float64)
+                sy = A.g_sum(jnp.where(both, yf, 0.0), both, jnp.float64)
+                sxy = A.g_sum(jnp.where(both, xf * yf, 0.0), both,
+                              jnp.float64)
+                sxx = A.g_sum(jnp.where(both, xf * xf, 0.0), both,
+                              jnp.float64)
+                syy = A.g_sum(jnp.where(both, yf * yf, 0.0), both,
+                              jnp.float64)
+                v, ok = _corr_finalize(spec.func, nn, sx, sy, sxy, sxx,
+                                       syy)
+                out[spec.name] = DCol(T.DOUBLE, PLAIN, v[None],
+                                      validity=ok[None])
             else:
                 raise NotImplementedError(spec.func)
         return Chunk(out, jnp.ones((1,), jnp.bool_))

@@ -25,9 +25,9 @@ from ..ops import hashtable as HT
 from . import physical as PH
 from .columns import Chunk
 
-# aggregation states that cannot merge across slices
-_UNSTREAMABLE = frozenset({"min_by", "max_by", "approx_percentile",
-                           "bool_and", "bool_or"}) | PH.VARIANCE_FUNCS
+# aggregation states that cannot merge across slices (variance / corr /
+# bool moved OUT in round 3: their moment/bit states merge exactly)
+_UNSTREAMABLE = frozenset({"min_by", "max_by", "approx_percentile"})
 
 
 def find_streamable_agg(plan: PH.PhysOp
@@ -225,12 +225,18 @@ def _merge_states_only(agg, partials: Chunk, state_specs, capacity: int):
     for sname, sfunc in state_specs:
         c = partials.cols[sname]
         m = partials.mask & (slot >= 0) & c.valid_or_true()
-        if sfunc == "sum":
+        if sfunc == "hll":
+            from ..ops import hll as HLL
+            v = HLL.seg_merge(c.values, slot, m, capacity)
+        elif sfunc == "sum":
             if c.values.ndim == 2:
                 v = I128.pack(*I128.seg_sum128_from_i128(
                     c.values, slot, m, capacity))
             else:
-                v = A.seg_sum(c.values, slot, m, capacity, jnp.int64)
+                acc = (jnp.float64 if jnp.issubdtype(c.values.dtype,
+                                                     jnp.floating)
+                       else jnp.int64)
+                v = A.seg_sum(c.values, slot, m, capacity, acc)
         elif sfunc == "min":
             v = (I128.pack(*I128.seg_min128(c.values, slot, m, capacity))
                  if c.values.ndim == 2

@@ -775,20 +775,25 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
         return _replicated_local_agg(plan, child, ctx), True
     if not plan.groups:
         if any(s.func in _WHOLE_GROUP_FUNCS or s.distinct
+               or s.func in PH.VARIANCE_FUNCS or s.func in PH.CORR_FUNCS
+               or s.func in ("bool_and", "bool_or")
                for s in plan.aggs):
             # needs all rows together (order statistics / exact distinct
-            # dedup): gather then reduce
+            # dedup; moment aggregates take this path only when GLOBAL —
+            # grouped variance/corr/bool distribute via moment states)
             return PH._exec_global_agg(plan, allgather_chunk(child)), True
         # global aggregation: local partials then psum-style merge
         return _traced_global_agg(plan, child), True
     return _traced_partial_final_agg(plan, child, ctx)
 
 
-# aggregates whose state is not a mergeable (sum/min/max) scalar: every row
-# of a group must land on one device (FIXED_HASH route, like distinct)
+# aggregates whose state is not a mergeable scalar: every row of a group
+# must land on one device (FIXED_HASH route, like distinct).  Variance /
+# correlation / bool families left this set in round 3 — their moment
+# sums (or min/max bits) merge exactly, so they ride the partial→final
+# exchange like sum.
 _WHOLE_GROUP_FUNCS = frozenset(
-    {"min_by", "max_by", "approx_percentile", "bool_and", "bool_or"}
-    | PH.VARIANCE_FUNCS)
+    {"min_by", "max_by", "approx_percentile"})
 
 
 def partial_agg_states(plan: PH.PhysHashAggregate, child: Chunk,
@@ -837,7 +842,10 @@ def merge_agg_states(plan: PH.PhysHashAggregate, partials: Chunk,
                 v = I128.pack(*I128.seg_sum128_from_i128(
                     c.values, slot2, m, capacity))
             else:
-                v = A.seg_sum(c.values, slot2, m, capacity, jnp.int64)
+                acc = (jnp.float64 if jnp.issubdtype(c.values.dtype,
+                                                     jnp.floating)
+                       else jnp.int64)
+                v = A.seg_sum(c.values, slot2, m, capacity, acc)
         elif sfunc == "min":
             v = (I128.pack(*I128.seg_min128(c.values, slot2, m, capacity))
                  if c.values.ndim == 2
@@ -1015,6 +1023,49 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
         out.append((f"{spec.name}#max", "max",
                     DCol(c.dtype, c.kind, v, validity=gvalid & nonempty,
                          dictionary=c.dictionary)))
+    if spec.func in PH.VARIANCE_FUNCS:
+        # moment sums (Σv, Σv², n) merge as plain additions — the
+        # reference's VarianceState (mean/m2/count Chan merge expressed as
+        # raw moments, which sum exactly)
+        fv = PH._fvals(c)
+        out.append((f"{spec.name}#s1", "sum",
+                    DCol(T.DOUBLE, PLAIN,
+                         A.seg_sum(fv, slot, vmask, capacity, jnp.float64),
+                         validity=gvalid)))
+        out.append((f"{spec.name}#s2", "sum",
+                    DCol(T.DOUBLE, PLAIN,
+                         A.seg_sum(fv * fv, slot, vmask, capacity,
+                                   jnp.float64), validity=gvalid)))
+        out.append((f"{spec.name}#cnt", "sum",
+                    DCol(T.BIGINT, PLAIN,
+                         A.seg_count(slot, vmask, capacity),
+                         validity=gvalid)))
+    if spec.func in PH.CORR_FUNCS:
+        x = eval_expr(spec.arg2, chunk)
+        both = vmask & x.valid_or_true()
+        yf, xf = PH._fvals(c), PH._fvals(x)
+        for tag, vals in (("n", None), ("sx", xf), ("sy", yf),
+                          ("sxy", xf * yf), ("sxx", xf * xf),
+                          ("syy", yf * yf)):
+            arr = (A.seg_count(slot, both, capacity).astype(jnp.float64)
+                   if vals is None
+                   else A.seg_sum(vals, slot, both, capacity, jnp.float64))
+            out.append((f"{spec.name}#{tag}", "sum",
+                        DCol(T.DOUBLE, PLAIN, arr, validity=gvalid)))
+    if spec.func in ("bool_and", "bool_or"):
+        b = c.values.astype(jnp.bool_)
+        if spec.func == "bool_and":
+            v = ~A.seg_any(~b, slot, vmask, capacity)
+            mf = "min"   # AND merges as min over {0,1}
+        else:
+            v = A.seg_any(b, slot, vmask, capacity)
+            mf = "max"
+        nonempty = A.seg_count(slot, vmask, capacity)
+        out.append((f"{spec.name}#b", mf,
+                    DCol(T.BIGINT, PLAIN, v.astype(jnp.int64),
+                         validity=gvalid & (nonempty > 0))))
+        out.append((f"{spec.name}#cnt", "sum",
+                    DCol(T.BIGINT, PLAIN, nonempty, validity=gvalid)))
     return out
 
 
@@ -1026,6 +1077,29 @@ def _finalize_agg(spec: PH.AggSpec, merged: Dict[str, DCol]) -> DCol:
     if spec.func == "approx_distinct":
         c = merged[f"{spec.name}#hll"]
         return DCol(T.BIGINT, PLAIN, HLL.estimate(c.values))
+    if spec.func in PH.VARIANCE_FUNCS:
+        s1 = merged[f"{spec.name}#s1"].values
+        s2 = merged[f"{spec.name}#s2"].values
+        cnt = merged[f"{spec.name}#cnt"].values.astype(jnp.float64)
+        pop = spec.func.endswith("_pop")
+        den = jnp.maximum(cnt if pop else cnt - 1, 1.0)
+        var = jnp.maximum((s2 - s1 * s1 / jnp.maximum(cnt, 1.0)) / den,
+                          0.0)
+        v = var if "var" in spec.func else jnp.sqrt(var)
+        return DCol(T.DOUBLE, PLAIN, v,
+                    validity=cnt >= (1 if pop else 2))
+    if spec.func in PH.CORR_FUNCS:
+        vals = {t: merged[f"{spec.name}#{t}"].values
+                for t in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+        v, ok = PH._corr_finalize(spec.func, vals["n"], vals["sx"],
+                                  vals["sy"], vals["sxy"], vals["sxx"],
+                                  vals["syy"])
+        return DCol(T.DOUBLE, PLAIN, v, validity=ok)
+    if spec.func in ("bool_and", "bool_or"):
+        b = merged[f"{spec.name}#b"]
+        cnt = merged[f"{spec.name}#cnt"].values
+        return DCol(T.BOOLEAN, PLAIN, b.values.astype(jnp.bool_),
+                    validity=cnt > 0)
     if spec.func == "sum":
         c = merged[f"{spec.name}#sum"]
         return DCol(ot, PLAIN, c.values, validity=c.validity)

@@ -35,7 +35,9 @@ from .. import ir
 AGG_FUNCS = {"sum", "avg", "count", "min", "max", "stddev", "stddev_samp",
              "stddev_pop", "variance", "var_samp", "var_pop", "bool_and",
              "bool_or", "approx_distinct", "arbitrary", "any_value",
-             "min_by", "max_by", "approx_percentile"}
+             "min_by", "max_by", "approx_percentile",
+             "corr", "covar_samp", "covar_pop", "regr_slope",
+             "regr_intercept"}
 EPOCH = dt.date(1970, 1, 1)
 
 
@@ -1083,7 +1085,8 @@ class Planner:
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
             key = ("approx_distinct", arg, False, None, None)
             node = ast.FuncCall("approx_distinct", node.args, False)
-        elif node.name in ("min_by", "max_by"):
+        elif node.name in ("min_by", "max_by", "corr", "covar_samp",
+                           "covar_pop", "regr_slope", "regr_intercept"):
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
             arg2 = self.resolve(node.args[1], self._cur_scope,
                                 self._cur_outer)

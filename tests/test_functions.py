@@ -144,3 +144,53 @@ def test_approx_percentile_global(runner):
     o = O.load("orders", SF)
     vals = np.sort(o.o_totalprice.values)
     assert got.q1[0] == vals[int(np.ceil(0.25 * len(vals))) - 1]
+
+
+def test_corr_family(runner):
+    """corr/covar/regr (reference: CorrelationAggregation etc.) vs pandas."""
+    got = runner.run_sql("""
+     select o_orderpriority,
+            corr(o_totalprice, o_custkey) c,
+            covar_samp(o_totalprice, o_custkey) cs,
+            covar_pop(o_totalprice, o_custkey) cp,
+            regr_slope(o_totalprice, o_custkey) rs,
+            regr_intercept(o_totalprice, o_custkey) ri
+     from orders group by o_orderpriority order by o_orderpriority
+    """).to_pandas()
+    o = O.load("orders", SF)
+    for i, (pri, g) in enumerate(sorted(o.groupby("o_orderpriority"),
+                                        key=lambda kv: kv[0])):
+        y = g.o_totalprice.astype(float) / 100  # engine reports dollars
+        x = g.o_custkey.astype(float)
+        assert np.isclose(got.c[i], y.corr(x), rtol=1e-6), pri
+        assert np.isclose(got.cs[i], y.cov(x), rtol=1e-6)
+        assert np.isclose(got.cp[i], y.cov(x) * (len(g) - 1) / len(g),
+                          rtol=1e-6)
+        slope = y.cov(x) / x.var(ddof=1)
+        assert np.isclose(got.rs[i], slope, rtol=1e-6)
+        assert np.isclose(got.ri[i], y.mean() - slope * x.mean(),
+                          rtol=1e-6)
+
+
+def test_moment_aggs_distribute_partial_final():
+    """Grouped variance/corr/bool now ride the partial→final exchange
+    (moment states) instead of whole-group FIXED_HASH routes; results must
+    match the local path to float tolerance."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a mesh")
+    from presto_tpu.exec.runner import LocalRunner
+    from presto_tpu.parallel import distributed as D
+    sql = """
+     select o_orderpriority, stddev(o_totalprice) sd, var_pop(o_totalprice) vp,
+            corr(o_totalprice, o_custkey) c, bool_and(o_totalprice > 0) ba,
+            bool_or(o_shippriority = 1) bo
+     from orders group by o_orderpriority order by o_orderpriority
+    """
+    loc = LocalRunner(scale_factor=SF).run_sql(sql).to_pandas()
+    dist = D.DistributedRunner(D.make_mesh(), SF).run_sql(sql).to_pandas()
+    for col in ("sd", "vp", "c"):
+        assert np.allclose(loc[col].values.astype(float),
+                           dist[col].values.astype(float), rtol=1e-9), col
+    assert loc.ba.tolist() == dist.ba.tolist()
+    assert loc.bo.tolist() == dist.bo.tolist()
