@@ -62,10 +62,14 @@ class _QueryResult:
 class StatementServer:
     """Serves the statement protocol for one engine Connection."""
 
-    def __init__(self, connection, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, connection, host: str = "127.0.0.1", port: int = 0,
+                 resource_groups=None):
         self.connection = connection
         self._queries: Dict[str, _QueryResult] = {}
         self._lock = threading.Lock()        # engine is single-controller
+        # optional admission control (parallel/resource_groups.py —
+        # the DispatchManager + InternalResourceGroup role)
+        self.resource_groups = resource_groups
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -104,6 +108,10 @@ class StatementServer:
                     return self._send({"nodeVersion": {"version": "presto-tpu"},
                                        "coordinator": True,
                                        "starting": False})
+                if len(parts) >= 2 and parts[0] == "v1" \
+                        and parts[1].lower() == "resourcegroup":
+                    rg = server.resource_groups
+                    return self._send([] if rg is None else rg.info())
                 if parts[:2] == ["v1", "query"] and len(parts) == 2:
                     return self._send([{
                         "queryId": q.id, "state": q.state,
@@ -145,6 +153,24 @@ class StatementServer:
         q = _QueryResult(f"q_{next(_ids)}", sql)
         self._queries[q.id] = q
         t0 = time.time()
+        slot = None
+        if self.resource_groups is not None:
+            from ..utils.errors import classify
+            try:
+                slot = self.resource_groups.acquire(user)
+            except Exception as e:  # noqa: BLE001 — queue full / timeout
+                q.state = "FAILED"
+                q.error = f"{type(e).__name__}: {e}"
+                q.error_code = classify(e)
+                q.elapsed_s = time.time() - t0
+                return q
+        try:
+            return self._execute_admitted(q, sql, session_props, t0)
+        finally:
+            if slot is not None:
+                slot.__exit__(None, None, None)
+
+    def _execute_admitted(self, q, sql, session_props, t0) -> _QueryResult:
         with self._lock:
             try:
                 if session_props:

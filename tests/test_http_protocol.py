@@ -112,3 +112,24 @@ def test_session_header_applied(server):
     with urllib.request.urlopen(req) as r:
         body = json.loads(r.read())
     assert body["stats"]["state"] in ("FINISHED", "FAILED")
+
+
+def test_resource_groups_over_http():
+    from presto_tpu.client.api import connect
+    from presto_tpu.client.server import StatementServer, HttpClient
+    from presto_tpu.parallel.resource_groups import (ResourceGroup,
+                                                     ResourceGroupManager)
+    import urllib.request
+    mgr = ResourceGroupManager(
+        [ResourceGroup("g", hard_concurrency_limit=2, max_queued=4)],
+        [("*", "g")])
+    srv = StatementServer(connect(schema="tiny"), resource_groups=mgr)
+    try:
+        cli = HttpClient(srv.url)
+        _, rows = cli.execute("select count(*) c from region")
+        assert rows[0][0] == 5
+        with urllib.request.urlopen(f"{srv.url}/v1/resourceGroup") as r:
+            info = json.loads(r.read())
+        assert info[0]["name"] == "g" and info[0]["admitted"] == 1
+    finally:
+        srv.close()
