@@ -35,6 +35,8 @@ from .types import (
 PLAIN = "plain"
 DICT = "dict"
 BYTES = "bytes"
+ARRAY = "array"   # values [N, W] of element dtype + lengths [N]
+MAP = "map"       # values [N, W] keys + values2 [N, W] map-values + lengths
 
 ArrayLike = Union[np.ndarray, "jax.Array"]  # noqa: F821 - device arrays allowed
 
@@ -46,7 +48,8 @@ class Column:
     validity: Optional[ArrayLike] = None    # bool [N]; None == all valid
     kind: str = PLAIN
     dictionary: Optional[np.ndarray] = None  # kind==DICT: np.ndarray of str objects
-    lengths: Optional[ArrayLike] = None      # kind==BYTES: int32 [N]
+    lengths: Optional[ArrayLike] = None      # kind==BYTES/ARRAY/MAP: int32 [N]
+    values2: Optional[ArrayLike] = None      # kind==MAP: map values [N, W]
 
     def __post_init__(self):
         if self.kind == DICT and self.dictionary is None:
@@ -73,6 +76,7 @@ class Column:
             values=np.asarray(self.values)[indices],
             validity=None if self.validity is None else np.asarray(self.validity)[indices],
             lengths=None if self.lengths is None else np.asarray(self.lengths)[indices],
+            values2=None if self.values2 is None else np.asarray(self.values2)[indices],
         )
         return out
 
@@ -84,6 +88,7 @@ class Column:
             values=self.values[sl],
             validity=None if self.validity is None else self.validity[sl],
             lengths=None if self.lengths is None else self.lengths[sl],
+            values2=None if self.values2 is None else self.values2[sl],
         )
 
     # ---- host-side materialization (testing / client output) ----
@@ -92,6 +97,33 @@ class Column:
         n = self.row_count
         valid = np.ones(n, dtype=bool) if self.validity is None else np.asarray(self.validity)
         out = []
+        if self.kind in (ARRAY, MAP):
+            vals = np.asarray(self.values)
+            lens = np.asarray(self.lengths)
+
+            def elem(v, dtype):
+                if self.dictionary is not None and is_string(dtype):
+                    return str(self.dictionary[int(v)])
+                return v.item()
+
+            from .types import ArrayType, MapType
+            if self.kind == ARRAY:
+                et = self.dtype.element if isinstance(self.dtype, ArrayType) \
+                    else self.dtype
+                for i in range(n):
+                    out.append([elem(v, et) for v in vals[i, :lens[i]]]
+                               if valid[i] else None)
+            else:
+                v2 = np.asarray(self.values2)
+                kt = self.dtype.key if isinstance(self.dtype, MapType) \
+                    else self.dtype
+                vt = self.dtype.value if isinstance(self.dtype, MapType) \
+                    else self.dtype
+                for i in range(n):
+                    out.append({elem(k, kt): elem(v, vt) for k, v in
+                                zip(vals[i, :lens[i]], v2[i, :lens[i]])}
+                               if valid[i] else None)
+            return out
         if self.kind == DICT:
             codes = np.asarray(self.values)
             for i in range(n):

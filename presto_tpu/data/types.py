@@ -149,6 +149,42 @@ class CharType(DataType):
         return f"char({self.length})"
 
 
+@dataclass(frozen=True)
+class ArrayType(DataType):
+    """ARRAY(element): fixed-capacity device layout — values ``[N, W]`` of
+    the element's physical dtype + per-row lengths ``[N]`` (the static-shape
+    redesign of the reference's offset-based ``spi/block/ArrayBlock.java``;
+    W is the column's max cardinality, padded positions are masked)."""
+
+    element: DataType = None
+    name: str = field(init=False, default="array")
+
+    @property
+    def np_dtype(self):
+        return self.element.np_dtype
+
+    def __str__(self) -> str:
+        return f"array({self.element})"
+
+
+@dataclass(frozen=True)
+class MapType(DataType):
+    """MAP(key, value): paired fixed-capacity layouts — key values
+    ``[N, W]`` + map values ``[N, W]`` + lengths ``[N]`` (reference:
+    ``spi/block/MapBlock.java`` flattened to two dense matrices)."""
+
+    key: DataType = None
+    value: DataType = None
+    name: str = field(init=False, default="map")
+
+    @property
+    def np_dtype(self):
+        return self.key.np_dtype
+
+    def __str__(self) -> str:
+        return f"map({self.key},{self.value})"
+
+
 BIGINT = BigintType()
 TIMESTAMP = TimestampType()
 INTEGER = IntegerType()
@@ -168,6 +204,22 @@ def varchar(length: Optional[int] = None) -> VarcharType:
 
 def char(length: int) -> CharType:
     return CharType(length)
+
+
+def array(element: DataType) -> ArrayType:
+    return ArrayType(element)
+
+
+def map_(key: DataType, value: DataType) -> MapType:
+    return MapType(key, value)
+
+
+def is_array(t: DataType) -> bool:
+    return isinstance(t, ArrayType)
+
+
+def is_map(t: DataType) -> bool:
+    return isinstance(t, MapType)
 
 
 def is_string(t: DataType) -> bool:

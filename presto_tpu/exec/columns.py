@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import types as T
-from ..data.column import Column, PLAIN, DICT, BYTES
+from ..data.column import Column, PLAIN, DICT, BYTES, ARRAY, MAP
 
 
 class Dictionary:
@@ -50,21 +50,23 @@ class Dictionary:
 @dataclass
 class DCol:
     dtype: T.DataType
-    kind: str                      # PLAIN | DICT | BYTES
-    values: jnp.ndarray            # PLAIN:[N] | DICT codes:[N] | BYTES:[N,W]
-    lengths: Optional[jnp.ndarray] = None   # BYTES
+    kind: str                      # PLAIN | DICT | BYTES | ARRAY | MAP
+    values: jnp.ndarray            # PLAIN:[N] | DICT codes:[N] | else:[N,W]
+    lengths: Optional[jnp.ndarray] = None   # BYTES/ARRAY/MAP
     validity: Optional[jnp.ndarray] = None  # bool [N]; None = all valid
-    dictionary: Optional[Dictionary] = None  # DICT
+    dictionary: Optional[Dictionary] = None  # DICT / string-typed elements
+    values2: Optional[jnp.ndarray] = None    # MAP: map values [N, W]
 
     def tree_flatten(self):
-        return ((self.values, self.lengths, self.validity),
+        return ((self.values, self.lengths, self.validity, self.values2),
                 (self.dtype, self.kind, self.dictionary))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         dtype, kind, dictionary = aux
-        values, lengths, validity = children
-        return cls(dtype, kind, values, lengths, validity, dictionary)
+        values, lengths, validity, values2 = children
+        return cls(dtype, kind, values, lengths, validity, dictionary,
+                   values2)
 
     @property
     def n_rows(self) -> int:
@@ -83,7 +85,8 @@ class DCol:
             v = valid if v is None else (v & valid)
         return DCol(self.dtype, self.kind, self.values[i],
                     None if self.lengths is None else self.lengths[i],
-                    v, self.dictionary)
+                    v, self.dictionary,
+                    None if self.values2 is None else self.values2[i])
 
 
 def from_host(col: Column) -> DCol:
@@ -94,6 +97,11 @@ def from_host(col: Column) -> DCol:
     if col.kind == BYTES:
         return DCol(col.dtype, BYTES, jnp.asarray(col.values),
                     jnp.asarray(col.lengths), validity)
+    if col.kind in (ARRAY, MAP):
+        d = None if col.dictionary is None else Dictionary(col.dictionary)
+        v2 = None if col.values2 is None else jnp.asarray(col.values2)
+        return DCol(col.dtype, col.kind, jnp.asarray(col.values),
+                    jnp.asarray(col.lengths), validity, d, v2)
     return DCol(col.dtype, PLAIN, jnp.asarray(col.values), None, validity)
 
 
@@ -107,11 +115,63 @@ def to_host(col: DCol, sel: np.ndarray) -> Column:
     if col.kind == BYTES:
         return Column(col.dtype, vals, validity, BYTES,
                       lengths=np.asarray(col.lengths)[sel])
+    if col.kind in (ARRAY, MAP):
+        d = None if col.dictionary is None else col.dictionary.strings
+        v2 = None if col.values2 is None else np.asarray(col.values2)[sel]
+        return Column(col.dtype, vals, validity, col.kind, dictionary=d,
+                      lengths=np.asarray(col.lengths)[sel], values2=v2)
     if vals.ndim == 2 and T.is_decimal(col.dtype):
         # long decimal (hi, lo) words → exact python ints
         from ..ops.int128 import to_host_ints
         return Column(col.dtype, to_host_ints(vals), validity, PLAIN)
     return Column(col.dtype, vals, validity, PLAIN)
+
+
+def _leaf_to_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.uint8)
+    flat = x.ravel()
+    if flat.dtype != jnp.uint8:
+        flat = jax.lax.bitcast_convert_type(flat, jnp.uint8)
+    return flat.ravel()
+
+
+@jax.jit
+def _pack_kernel(tree):
+    """Byte-pack every array leaf of a pytree into ONE uint8 vector.
+
+    Device→host transfers through a high-latency link (the axon tunnel:
+    ~35 ms per transfer regardless of size) must be batched: fetching a
+    query result column-by-column pays one RTT per column.  This packs
+    the whole result into a single buffer so materialization is exactly
+    one transfer (reference analogue: one serialized Page over the wire,
+    ``spi/Page.java`` + PagesSerde, rather than per-block fetches)."""
+    leaves = jax.tree_util.tree_flatten(tree)[0]
+    parts = [_leaf_to_bytes(x) for x in leaves]
+    if not parts:
+        return jnp.zeros((0,), jnp.uint8)
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def fetch_tree(tree):
+    """Materialize a device pytree to host numpy with ONE device→host
+    transfer (see ``_pack_kernel``).  Shapes/dtypes are read from the
+    device arrays' metadata (no transfer) to slice the packed buffer."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    buf = np.asarray(_pack_kernel(tree))
+    out = []
+    off = 0
+    for l in leaves:
+        if l.dtype == jnp.bool_:
+            nb = int(l.size)
+            arr = buf[off:off + nb].reshape(l.shape).astype(bool)
+        else:
+            dt = np.dtype(l.dtype.name)
+            nb = int(l.size) * dt.itemsize
+            arr = buf[off:off + nb].view(dt).reshape(l.shape)
+        off += nb
+        out.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import types as T
-from ..data.column import PLAIN, DICT, BYTES
+from ..data.column import PLAIN, DICT, BYTES, ARRAY, MAP
 from ..ops import strings as S
 from ..ops import decimal as D
 from ..ops import int128 as I128
@@ -370,7 +370,163 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
         v = a.values.astype(jnp.float64) / (10 ** _scale_of(a.dtype))
         return DCol(T.DOUBLE, PLAIN, jnp.sqrt(v),
                     validity=_and_validity(a.validity, a.values >= 0))
+    out = _eval_array_func(expr, args, n)
+    if out is not None:
+        return out
     raise NotImplementedError(f"scalar function {name}")
+
+
+def _pos_grid(w: int, lengths: jnp.ndarray) -> jnp.ndarray:
+    """bool [N, W]: position < row length (the array element mask)."""
+    return jnp.arange(w)[None, :] < lengths[:, None]
+
+
+def _eval_array_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
+    """ARRAY/MAP functions over the fixed-capacity [N, W] layout
+    (reference: ``operator/scalar/ArrayFunctions`` family +
+    ``spi/block/ArrayBlock.java``; here every function is a dense 2-D
+    vector op — no per-row loops)."""
+    name = expr.name
+
+    if name == "array_pack":           # ARRAY[e1, …] literal constructor
+        et = expr.dtype.element
+        es = _scale_of(et)
+        if not args:
+            return DCol(expr.dtype, ARRAY,
+                        jnp.zeros((n, 0), T.BIGINT.np_dtype),
+                        jnp.zeros((n,), jnp.int32))
+        dictionary = None
+        cols = []
+        for a in args:
+            if a.kind == DICT:
+                assert dictionary is None or dictionary is a.dictionary, \
+                    "string array elements must share one dictionary"
+                dictionary = a.dictionary
+                cols.append(a.values)
+            elif T.is_decimal(et):
+                cols.append(D.rescale(a.values.astype(jnp.int64),
+                                      _scale_of(a.dtype), es))
+            else:
+                cols.append(a.values.astype(np.dtype(et.np_dtype)))
+        vals = jnp.stack(cols, axis=1)
+        return DCol(expr.dtype, ARRAY, vals,
+                    jnp.full((n,), len(args), jnp.int32),
+                    _and_validity(*(a.validity for a in args)),
+                    dictionary)
+
+    if name == "map_pack":             # MAP(ARRAY[…], ARRAY[…])
+        k, v = args
+        assert k.kind == ARRAY and v.kind == ARRAY
+        w = max(k.values.shape[1], v.values.shape[1])
+
+        def pad(x):
+            return jnp.pad(x, ((0, 0), (0, w - x.shape[1])))
+        return DCol(expr.dtype, MAP, pad(k.values),
+                    jnp.minimum(k.lengths, v.lengths),
+                    _and_validity(k.validity, v.validity),
+                    k.dictionary or v.dictionary, pad(v.values))
+
+    if name == "sequence":             # sequence(lo, hi[, step]) literals
+        # static W from the literal IR bounds (planner enforces literals;
+        # the evaluated columns are tracers, the IR values are not)
+        lo0 = int(expr.args[0].value)
+        hi0 = int(expr.args[1].value)
+        step = int(expr.args[2].value) if len(expr.args) > 2 else 1
+        w = max((hi0 - lo0) // step + 1, 0)
+        row = lo0 + jnp.arange(w, dtype=jnp.int64) * step
+        return DCol(expr.dtype, ARRAY,
+                    jnp.broadcast_to(row[None, :], (n, w)),
+                    jnp.full((n,), w, jnp.int32))
+
+    a = args[0] if args else None
+    if a is None or a.kind not in (ARRAY, MAP):
+        return None
+
+    if name == "cardinality":
+        return DCol(T.BIGINT, PLAIN, a.lengths.astype(jnp.int64),
+                    validity=a.validity)
+    if name in ("element_at", "map_element_at"):
+        idx = args[1]
+        w = a.values.shape[1]
+        if a.kind == MAP:
+            # key lookup: first position whose key equals the probe
+            keyv = idx.values.astype(a.values.dtype)
+            eq = (a.values == keyv[:, None]) & _pos_grid(w, a.lengths)
+            found = eq.any(axis=1)
+            pos = jnp.argmax(eq, axis=1)
+            vals = jnp.take_along_axis(
+                a.values2, pos[:, None], axis=1)[:, 0]
+            et = expr.dtype
+            return DCol(et, PLAIN, vals,
+                        validity=_and_validity(a.validity, idx.validity,
+                                               found))
+        i = idx.values.astype(jnp.int64)
+        pos = jnp.where(i > 0, i - 1, a.lengths.astype(jnp.int64) + i)
+        ok = (pos >= 0) & (pos < a.lengths)
+        vals = jnp.take_along_axis(
+            a.values, jnp.clip(pos, 0, max(w - 1, 0))[:, None].astype(
+                jnp.int32), axis=1)[:, 0] if w > 0 else \
+            jnp.zeros((n,), a.values.dtype)
+        kind = DICT if a.dictionary is not None else PLAIN
+        return DCol(expr.dtype, kind, vals,
+                    validity=_and_validity(a.validity, idx.validity, ok),
+                    dictionary=a.dictionary)
+    if name == "contains":
+        x = args[1]
+        w = a.values.shape[1]
+        xv = x.values.astype(a.values.dtype)
+        hit = ((a.values == xv[:, None]) & _pos_grid(w, a.lengths)).any(1)
+        return DCol(T.BOOLEAN, PLAIN, hit,
+                    validity=_and_validity(a.validity, x.validity))
+    if name == "array_position":
+        x = args[1]
+        w = a.values.shape[1]
+        xv = x.values.astype(a.values.dtype)
+        eq = (a.values == xv[:, None]) & _pos_grid(w, a.lengths)
+        pos = jnp.where(eq.any(1), jnp.argmax(eq, axis=1) + 1, 0)
+        return DCol(T.BIGINT, PLAIN, pos.astype(jnp.int64),
+                    validity=_and_validity(a.validity, x.validity))
+    if name in ("array_min", "array_max"):
+        w = a.values.shape[1]
+        grid = _pos_grid(w, a.lengths)
+        v = a.values.astype(jnp.int64) if not jnp.issubdtype(
+            a.values.dtype, jnp.floating) else a.values
+        big = jnp.iinfo(jnp.int64).max if v.dtype == jnp.int64 else jnp.inf
+        if name == "array_min":
+            out = jnp.min(jnp.where(grid, v, big), axis=1) if w else \
+                jnp.zeros((n,), v.dtype)
+        else:
+            out = jnp.max(jnp.where(grid, v, -big - (v.dtype == jnp.int64)),
+                          axis=1) if w else jnp.zeros((n,), v.dtype)
+        return DCol(expr.dtype, PLAIN, out,
+                    validity=_and_validity(a.validity, a.lengths > 0))
+    if name in ("array_sort", "array_distinct"):
+        w = a.values.shape[1]
+        grid = _pos_grid(w, a.lengths)
+        big = jnp.iinfo(jnp.int64).max if not jnp.issubdtype(
+            a.values.dtype, jnp.floating) else jnp.inf
+        v = jnp.where(grid, a.values, big)
+        sv = jnp.sort(v, axis=1)
+        if name == "array_sort":
+            return DCol(a.dtype, ARRAY, jnp.where(_pos_grid(w, a.lengths),
+                                                  sv, 0),
+                        a.lengths, a.validity, a.dictionary)
+        dup = jnp.concatenate(
+            [jnp.zeros((n, 1), bool), sv[:, 1:] == sv[:, :-1]], axis=1)
+        keep = _pos_grid(w, a.lengths) & ~dup
+        order = jnp.argsort(~keep, axis=1, stable=True)
+        newlen = keep.sum(axis=1).astype(jnp.int32)
+        packed = jnp.take_along_axis(sv, order, axis=1)
+        packed = jnp.where(_pos_grid(w, newlen), packed, 0)
+        return DCol(a.dtype, ARRAY, packed, newlen, a.validity,
+                    a.dictionary)
+    if name == "map_keys":
+        return DCol(expr.dtype, ARRAY, a.values, a.lengths, a.validity,
+                    a.dictionary)
+    if name == "map_values":
+        return DCol(expr.dtype, ARRAY, a.values2, a.lengths, a.validity,
+                    a.dictionary)
+    return None
 
 
 def _eval_case_bytes(expr: ir.Case, chunk: Chunk) -> DCol:

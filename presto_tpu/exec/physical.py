@@ -208,6 +208,23 @@ class PhysConcat(PhysOp):
 
 
 @dataclass
+class PhysUnnest(PhysOp):
+    """Lateral array/map expansion (reference:
+    ``operator/unnest/UnnestOperator.java:47``).  TPU shape: the output is
+    a static ``N×W`` grid (W = array capacity), masked by element validity
+    — no per-row cursor, one gather per column."""
+
+    child: PhysOp
+    exprs: Tuple[ir.Expr, ...]
+    # output column names per expr: 1 name for arrays, 2 for maps
+    names: Tuple[Tuple[str, ...], ...]
+    ordinality: Optional[str] = None   # WITH ORDINALITY output name
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclass
 class PhysScalarBind(PhysOp):
     """Bind single-row subplan results as broadcast columns of the child."""
 
@@ -350,7 +367,61 @@ def _execute_node(plan: PhysOp, ctx: ExecContext) -> Chunk:
         return _exec_match_recognize(plan, ctx)
     if isinstance(plan, PhysConcat):
         return concat_chunks([execute(c, ctx) for c in plan.inputs])
+    if isinstance(plan, PhysUnnest):
+        return _exec_unnest(plan, ctx)
     raise NotImplementedError(type(plan).__name__)
+
+
+@partial(jax.jit, static_argnames=("exprs", "names", "ordinality"))
+def _unnest_kernel(chunk: Chunk, exprs, names, ordinality) -> Chunk:
+    from ..data.column import ARRAY as _ARR, MAP as _MAP
+    arrs = [eval_expr(e, chunk) for e in exprs]
+    n = chunk.n_rows
+    w = max((a.values.shape[1] for a in arrs), default=1)
+    w = max(w, 1)
+    row = jnp.repeat(jnp.arange(n), w)          # [n*w]
+    pos = jnp.tile(jnp.arange(w), n)            # [n*w]
+    # zip semantics (multiple UNNEST args): expand to the MAX length,
+    # shorter arrays pad with NULL elements
+    maxlen = arrs[0].lengths
+    for a in arrs[1:]:
+        maxlen = jnp.maximum(maxlen, a.lengths)
+    out_mask = chunk.mask[row] & (pos < maxlen[row])
+    cols = {nm: c.take(row) for nm, c in chunk.cols.items()}
+    for a, outs in zip(arrs, names):
+        elem_valid = (pos < a.lengths[row])
+        if a.validity is not None:
+            elem_valid &= a.validity[row]
+        ev = a.values[row, jnp.minimum(pos, a.values.shape[1] - 1)] \
+            if a.values.shape[1] else jnp.zeros((n * w,), a.values.dtype)
+        kind = DICT if a.dictionary is not None else PLAIN
+        if a.kind == _MAP:
+            kt, vt = a.dtype.key, a.dtype.value
+            ev2 = a.values2[row, jnp.minimum(pos, a.values2.shape[1] - 1)] \
+                if a.values2.shape[1] else jnp.zeros((n * w,),
+                                                     a.values2.dtype)
+            cols[outs[0]] = DCol(kt, kind if T.is_string(kt) else PLAIN,
+                                 ev, validity=elem_valid,
+                                 dictionary=a.dictionary
+                                 if T.is_string(kt) else None)
+            cols[outs[1]] = DCol(vt, kind if T.is_string(vt) else PLAIN,
+                                 ev2, validity=elem_valid,
+                                 dictionary=a.dictionary
+                                 if T.is_string(vt) else None)
+        else:
+            cols[outs[0]] = DCol(a.dtype.element, kind, ev,
+                                 validity=elem_valid,
+                                 dictionary=a.dictionary)
+    if ordinality:
+        cols[ordinality] = DCol(T.BIGINT, PLAIN,
+                                (pos + 1).astype(jnp.int64))
+    return Chunk(cols, out_mask)
+
+
+def _exec_unnest(plan: PhysUnnest, ctx: ExecContext) -> Chunk:
+    child = execute(plan.child, ctx)
+    out = _unnest_kernel(child, plan.exprs, plan.names, plan.ordinality)
+    return _maybe_compact(out, ctx)
 
 
 def _maybe_compact(chunk: Chunk, ctx: ExecContext) -> Chunk:
@@ -374,7 +445,8 @@ def _exec_limit(child: Chunk, n: int) -> Chunk:
     cols = {name: DCol(c.dtype, c.kind, c.values[:n],
                        None if c.lengths is None else c.lengths[:n],
                        None if c.validity is None else c.validity[:n],
-                       c.dictionary)
+                       c.dictionary,
+                       None if c.values2 is None else c.values2[:n])
             for name, c in child.cols.items()}
     return Chunk(cols, child.mask[:n])
 

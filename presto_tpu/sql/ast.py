@@ -172,6 +172,17 @@ class TypedNull(Node):
     of: Node                         # NULL typed like this expression
 
 
+@dataclass
+class ArrayLit(Node):
+    items: List[Node]                # ARRAY[e1, e2, ...]
+
+
+@dataclass
+class Subscript(Node):
+    base: Node                       # arr[i] (1-based, SQL semantics)
+    index: Node
+
+
 # --- relations ---
 
 @dataclass
@@ -192,6 +203,18 @@ class JoinRef(Node):
     right: Node
     kind: str                        # inner | left | right | cross
     on: Optional[Node]
+
+
+@dataclass
+class UnnestRef(Node):
+    """CROSS JOIN UNNEST(arr[, ...]) [WITH ORDINALITY] AS a(x[, ...]) —
+    lateral expansion of array/map expressions (reference:
+    ``sql/tree/Unnest.java`` + ``operator/unnest/UnnestOperator.java``)."""
+
+    exprs: List[Node]
+    alias: Optional[str] = None
+    col_aliases: List[str] = field(default_factory=list)
+    ordinality: bool = False
 
 
 @dataclass

@@ -19,7 +19,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<qident>"[^"]*")
   | (?P<string>'(?:[^']|'')*')
   | (?P<name>[A-Za-z_][A-Za-z0-9_$]*)
-  | (?P<op><>|!=|>=|<=|\|\||[-+*/(),.;=<>?|])
+  | (?P<op><>|!=|>=|<=|\|\||[-+*/(),.;=<>?|\[\]])
 """, re.X | re.S)
 
 KEYWORDS = {
@@ -287,6 +287,30 @@ class Parser:
                     q.from_, q.where, q.group_by, q.having, q.order_by,
                     q.limit, q.distinct, q.with_ctes)
             return ast.SubqueryRef(q, alias)
+        if self.peek().kind == "name" and self.peek().value == "unnest" \
+                and self.peek(1).kind == "op" and self.peek(1).value == "(":
+            self.next()
+            self.expect("op", "(")
+            exprs = [self.parse_expr()]
+            while self.accept("op", ","):
+                exprs.append(self.parse_expr())
+            self.expect("op", ")")
+            ordinality = False
+            if self.accept("kw", "with"):
+                tok = self.next()
+                assert tok.value == "ordinality", "expected ORDINALITY"
+                ordinality = True
+            alias, col_aliases = None, []
+            if self.accept("kw", "as"):
+                alias = self.expect("name").value
+            elif self.peek().kind == "name":
+                alias = self.next().value
+            if alias is not None and self.accept("op", "("):
+                col_aliases.append(self.expect("name").value)
+                while self.accept("op", ","):
+                    col_aliases.append(self.expect("name").value)
+                self.expect("op", ")")
+            return ast.UnnestRef(exprs, alias, col_aliases, ordinality)
         parts = [self.expect("name").value]
         while self.accept("op", "."):
             parts.append(self.expect("name").value)
@@ -497,7 +521,12 @@ class Parser:
             return ast.UnaryOp("-", self.parse_unary())
         if self.accept("op", "+"):
             return self.parse_unary()
-        return self.parse_primary()
+        e = self.parse_primary()
+        while self.accept("op", "["):      # subscript: arr[i] (1-based)
+            idx = self.parse_expr()
+            self.expect("op", "]")
+            e = ast.Subscript(e, idx)
+        return e
 
     def parse_primary(self) -> ast.Node:
         t = self.peek()
@@ -606,6 +635,14 @@ class Parser:
                 return ast.Ident(("null",))
         if t.kind == "name":
             self.next()
+            if t.value == "array" and self.accept("op", "["):
+                items = []
+                if not self.accept("op", "]"):
+                    items.append(self.parse_expr())
+                    while self.accept("op", ","):
+                        items.append(self.parse_expr())
+                    self.expect("op", "]")
+                return ast.ArrayLit(items)
             if self.accept("op", "("):
                 # function call
                 if self.accept("op", "*"):

@@ -274,6 +274,44 @@ class Planner:
         est = SCH.CATALOG.row_count(SCH.TableHandle(name, self.sf))
         return Rel(plan, scope, cols, uk, est)
 
+    def _plan_unnest(self, r: "ast.UnnestRef", base: Rel) -> Rel:
+        """CROSS JOIN UNNEST(...) over the preceding relation (reference:
+        ``sql/planner/RelationPlanner.visitUnnest`` + UnnestNode)."""
+        exprs = [self.resolve(e, base.scope, None) for e in r.exprs]
+        names: List[Tuple[str, ...]] = []
+        scope = Scope(dict(base.scope.entries))
+        cols = set(base.columns)
+        ai = 0
+        aliases = list(r.col_aliases)
+        for e in exprs:
+            if T.is_map(e.dtype):
+                outs = []
+                for which, dt in (("key", e.dtype.key),
+                                  ("value", e.dtype.value)):
+                    nm = aliases[ai] if ai < len(aliases) else which
+                    ai += 1
+                    phys = self.fresh(nm)
+                    scope.add(r.alias, nm, phys, dt)
+                    cols.add(phys)
+                    outs.append(phys)
+                names.append(tuple(outs))
+            else:
+                assert T.is_array(e.dtype), f"UNNEST over {e.dtype}"
+                nm = aliases[ai] if ai < len(aliases) else f"col{ai + 1}"
+                ai += 1
+                phys = self.fresh(nm)
+                scope.add(r.alias, nm, phys, e.dtype.element)
+                cols.add(phys)
+                names.append((phys,))
+        ord_phys = None
+        if r.ordinality:
+            nm = aliases[ai] if ai < len(aliases) else "ordinality"
+            ord_phys = self.fresh(nm)
+            scope.add(r.alias, nm, ord_phys, T.BIGINT)
+            cols.add(ord_phys)
+        plan = P.PhysUnnest(base.plan, tuple(exprs), tuple(names), ord_phys)
+        return Rel(plan, scope, cols, [], est=base.est * 4)
+
     def plan_match_recognize(self, r: "ast.MatchRecognizeRef") -> Rel:
         """FROM t MATCH_RECOGNIZE (...) → PhysMatchRecognize Rel.
 
@@ -540,6 +578,22 @@ class Planner:
                 return sm[id(node)]
             raise NotImplementedError(
                 "scalar subquery in this position")
+        if isinstance(node, ast.ArrayLit):
+            items = tuple(self._resolve(a, scope, outer) for a in node.items)
+            et = T.BIGINT
+            if items:
+                et = items[0].dtype
+                for a in items[1:]:
+                    et = T.common_super_type(et, a.dtype)
+            return ir.Func("array_pack", items, T.array(et))
+        if isinstance(node, ast.Subscript):
+            base = self._resolve(node.base, scope, outer)
+            idx = self._resolve(node.index, scope, outer)
+            if T.is_map(base.dtype):
+                return ir.Func("map_element_at", (base, idx),
+                               base.dtype.value)
+            assert T.is_array(base.dtype), f"subscript on {base.dtype}"
+            return ir.Func("element_at", (base, idx), base.dtype.element)
         if isinstance(node, ast.FuncCall):
             if self._mr_symbols is not None and node.name in ("prev",
                                                              "next"):
@@ -586,6 +640,36 @@ class Planner:
             la = sum((a.dtype.length or 64) for a in args
                      if T.is_string(a.dtype))
             return ir.Func(name, args, T.varchar(la))
+        if name == "cardinality":
+            return ir.Func(name, args, T.BIGINT)
+        if name == "element_at":
+            bt = args[0].dtype
+            if T.is_map(bt):
+                return ir.Func("map_element_at", args, bt.value)
+            assert T.is_array(bt), f"element_at on {bt}"
+            return ir.Func(name, args, bt.element)
+        if name == "contains":
+            return ir.Func(name, args, T.BOOLEAN)
+        if name == "array_position":
+            return ir.Func(name, args, T.BIGINT)
+        if name in ("array_min", "array_max"):
+            return ir.Func(name, args, args[0].dtype.element)
+        if name in ("array_sort", "array_distinct"):
+            return ir.Func(name, args, args[0].dtype)
+        if name == "sequence":
+            for a in args:
+                assert isinstance(a, ir.Literal), \
+                    "sequence bounds must be literals (static capacity)"
+            return ir.Func(name, args, T.array(T.BIGINT))
+        if name == "map":
+            ka, va = args
+            assert T.is_array(ka.dtype) and T.is_array(va.dtype)
+            return ir.Func("map_pack", args,
+                           T.map_(ka.dtype.element, va.dtype.element))
+        if name == "map_keys":
+            return ir.Func(name, args, T.array(args[0].dtype.key))
+        if name == "map_values":
+            return ir.Func(name, args, T.array(args[0].dtype.value))
         if name in ("substr", "substring"):
             start = args[1]
             assert isinstance(start, ir.Literal)
@@ -648,6 +732,12 @@ class Planner:
             elif isinstance(r, ast.SubqueryRef):
                 sub = self.plan_query(r.query, outer=None)
                 rels.append(self._aliased_subquery(sub, r.alias))
+            elif isinstance(r, ast.UnnestRef):
+                # lateral: array exprs resolve against the preceding
+                # relation, which the unnest node wraps
+                assert rels, "UNNEST requires a preceding relation"
+                base = rels.pop()
+                rels.append(self._plan_unnest(r, base))
             elif isinstance(r, ast.JoinRef):
                 if r.kind in ("inner", "cross"):
                     add_relation(r.left)

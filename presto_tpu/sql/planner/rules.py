@@ -357,6 +357,7 @@ _CHILD_FIELDS = {
     P.PhysSort: ("child",),
     P.PhysLimit: ("child",),
     P.PhysWindow: ("child",),
+    P.PhysUnnest: ("child",),
     P.PhysHashJoin: ("probe", "build"),
 }
 
