@@ -373,7 +373,336 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
     out = _eval_array_func(expr, args, n)
     if out is not None:
         return out
+    out = _eval_string_func(expr, args, n)
+    if out is not None:
+        return out
+    out = _eval_date_func(expr, args, n)
+    if out is not None:
+        return out
     raise NotImplementedError(f"scalar function {name}")
+
+
+# ------------------------------------------------------- string functions
+
+def _lit_str(arg: ir.Expr) -> str:
+    assert isinstance(arg, ir.Literal) and isinstance(arg.value, str), \
+        "pattern argument must be a string literal"
+    return arg.value
+
+
+def _host_decode(col: DCol):
+    """All row strings on the host — ONLY legal outside a trace (the
+    op-at-a-time path); inside jit the caller falls back by catching
+    NotImplementedError.  The reference evaluates regex/JSON row-at-a-time
+    on the JVM (``operator/scalar/JoniRegexpFunctions.java``); host
+    evaluation over an eager buffer is the same cost shape."""
+    import jax.core as jc
+    if isinstance(col.values, jc.Tracer):
+        raise NotImplementedError(
+            "string function on a raw byte column inside a fused program "
+            "(dictionary-encoded columns fuse; byte columns run on the "
+            "op-at-a-time path)")
+    from ..data.column import strings_from_bytes
+    return strings_from_bytes(np.asarray(col.values),
+                              np.asarray(col.lengths))
+
+
+def _string_transform(col: DCol, f, out_dtype) -> DCol:
+    """Apply a host string→string function: DICT columns transform their
+    (tiny) dictionary; BYTES columns decode eagerly (op path only)."""
+    from .columns import Dictionary
+    if col.kind == DICT:
+        return DCol(out_dtype, DICT, col.values, validity=col.validity,
+                    dictionary=Dictionary(np.array(
+                        [f(str(s)) for s in col.dictionary.strings],
+                        dtype=object)))
+    assert col.kind == BYTES
+    strs = [f(s) for s in _host_decode(col)]
+    uniq, codes = np.unique(np.array(strs, dtype=str), return_inverse=True)
+    return DCol(out_dtype, DICT, jnp.asarray(codes.astype(np.int32)),
+                validity=col.validity,
+                dictionary=Dictionary(uniq.astype(object)))
+
+
+def _string_scalar(col: DCol, f, out_dtype, np_dtype) -> DCol:
+    """Host string→scalar function (bool/int), layout-aware like above."""
+    if col.kind == DICT:
+        table = np.array([f(str(s)) for s in col.dictionary.strings],
+                         dtype=np_dtype)
+        return DCol(out_dtype, PLAIN, jnp.asarray(table)[col.values],
+                    validity=col.validity)
+    assert col.kind == BYTES
+    vals = np.array([f(s) for s in _host_decode(col)], dtype=np_dtype)
+    return DCol(out_dtype, PLAIN, jnp.asarray(vals), validity=col.validity)
+
+
+def _eval_string_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
+    """String-function family (reference: ``operator/scalar/
+    StringFunctions.java``, ``JoniRegexpFunctions.java``,
+    ``JsonFunctions.java``)."""
+    import re as _re
+    name = expr.name
+    if name not in ("regexp_like", "regexp_extract", "regexp_replace",
+                    "replace", "trim", "ltrim", "rtrim", "reverse",
+                    "split_part", "strpos", "position", "starts_with",
+                    "ends_with", "codepoint", "chr", "split",
+                    "json_extract_scalar"):
+        return None
+    a = args[0]
+    if name == "chr":
+        return DCol(expr.dtype, BYTES,
+                    a.values.astype(jnp.uint8)[:, None],
+                    jnp.ones((n,), jnp.int32), a.validity)
+    if name == "regexp_like":
+        pat = _re.compile(_lit_str(expr.args[1]))
+        return _string_scalar(a, lambda s: bool(pat.search(s)),
+                              T.BOOLEAN, np.bool_)
+    if name == "regexp_extract":
+        pat = _re.compile(_lit_str(expr.args[1]))
+        g = int(expr.args[2].value) if len(expr.args) > 2 else 0
+
+        def fx(s):
+            m = pat.search(s)
+            return m.group(g) if m else ""
+        return _string_transform(a, fx, expr.dtype)
+    if name == "regexp_replace":
+        pat = _re.compile(_lit_str(expr.args[1]))
+        repl = _lit_str(expr.args[2]) if len(expr.args) > 2 else ""
+        # SQL replacement groups $1 → python \1
+        repl_py = _re.sub(r"\$(\d+)", r"\\\1", repl)
+        return _string_transform(a, lambda s: pat.sub(repl_py, s),
+                                 expr.dtype)
+    if name == "replace":
+        frm = _lit_str(expr.args[1])
+        to = _lit_str(expr.args[2]) if len(expr.args) > 2 else ""
+        return _string_transform(a, lambda s: s.replace(frm, to),
+                                 expr.dtype)
+    if name in ("trim", "ltrim", "rtrim"):
+        f = {"trim": str.strip, "ltrim": str.lstrip,
+             "rtrim": str.rstrip}[name]
+        return _string_transform(a, f, expr.dtype)
+    if name == "reverse":
+        return _string_transform(a, lambda s: s[::-1], expr.dtype)
+    if name == "split_part":
+        delim = _lit_str(expr.args[1])
+        idx = int(expr.args[2].value)
+
+        def fsp(s):
+            parts = s.split(delim)
+            return parts[idx - 1] if 0 < idx <= len(parts) else ""
+        return _string_transform(a, fsp, expr.dtype)
+    if name in ("strpos", "position"):
+        sub = _lit_str(expr.args[1])
+        return _string_scalar(a, lambda s: s.find(sub) + 1,
+                              T.BIGINT, np.int64)
+    if name in ("starts_with", "ends_with"):
+        pat = _lit_str(expr.args[1]).encode("ascii")
+        if a.kind == BYTES:
+            # device path: fixed-width prefix/suffix compare
+            w = a.values.shape[1]
+            k = len(pat)
+            if k == 0:
+                v = jnp.ones((n,), jnp.bool_)
+            elif k > w:
+                v = jnp.zeros((n,), jnp.bool_)
+            elif name == "starts_with":
+                v = (a.lengths >= k) & jnp.all(
+                    a.values[:, :k] == jnp.asarray(
+                        np.frombuffer(pat, np.uint8)), axis=1)
+            else:
+                idxs = (a.lengths[:, None] - k
+                        + jnp.arange(k)[None, :])
+                tail = jnp.take_along_axis(
+                    a.values, jnp.clip(idxs, 0, w - 1), axis=1)
+                v = (a.lengths >= k) & jnp.all(
+                    tail == jnp.asarray(np.frombuffer(pat, np.uint8)),
+                    axis=1)
+            return DCol(T.BOOLEAN, PLAIN, v, validity=a.validity)
+        ps = pat.decode("ascii")
+        f = (lambda s: s.startswith(ps)) if name == "starts_with" else \
+            (lambda s: s.endswith(ps))
+        return _string_scalar(a, f, T.BOOLEAN, np.bool_)
+    if name == "codepoint":
+        return _string_scalar(a, lambda s: ord(s[0]) if s else 0,
+                              T.BIGINT, np.int64)
+    if name == "split":
+        delim = _lit_str(expr.args[1])
+        from .columns import Dictionary
+        if a.kind != DICT:
+            # BYTES: intern eagerly, then split over the dictionary
+            a = _string_transform(a, lambda s: s, T.VARCHAR)
+        parts_per = [str(s).split(delim) for s in a.dictionary.strings]
+        w = max((len(p) for p in parts_per), default=1)
+        uniq = sorted({p for ps in parts_per for p in ps})
+        code_of = {p: i for i, p in enumerate(uniq)}
+        table = np.zeros((len(parts_per), w), np.int32)
+        lens = np.zeros(len(parts_per), np.int32)
+        for i, ps in enumerate(parts_per):
+            lens[i] = len(ps)
+            for j, p in enumerate(ps):
+                table[i, j] = code_of[p]
+        from ..data.column import ARRAY as _ARR
+        codes = jnp.maximum(a.values, 0)
+        return DCol(expr.dtype, _ARR, jnp.asarray(table)[codes],
+                    jnp.asarray(lens)[codes], a.validity,
+                    Dictionary(np.array(uniq, dtype=object)))
+    if name == "json_extract_scalar":
+        import json as _json
+        path = _lit_str(expr.args[1])
+        assert path.startswith("$"), "JSONPath must start with $"
+        steps = [p for p in _re.split(r"\.|\[|\]", path[1:]) if p]
+
+        def fj(s):
+            try:
+                v = _json.loads(s)
+                for st in steps:
+                    v = v[int(st)] if isinstance(v, list) else v.get(st)
+                    if v is None:
+                        return ""
+                if isinstance(v, (dict, list)):
+                    return ""
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                return str(v)
+            except (ValueError, KeyError, IndexError, TypeError):
+                return ""
+        return _string_transform(a, fj, expr.dtype)
+    return None
+
+
+# --------------------------------------------------------- date functions
+
+def civil_from_days(days: jnp.ndarray):
+    """(year, month, day) of days-since-epoch (Hinnant, vectorized)."""
+    z = days.astype(jnp.int64) + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = jnp.where(mp < 10, mp + 3, mp - 9)
+    return y + (m <= 2), m, d
+
+
+def days_from_civil(y, m, d):
+    """days-since-epoch of (year, month, day) — Hinnant inverse."""
+    y = y - (m <= 2)
+    era = jnp.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _eval_date_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
+    """Date/time function family (reference:
+    ``operator/scalar/DateTimeFunctions.java``) — pure day-int math on
+    the VPU, no per-row code."""
+    name = expr.name
+    if name not in ("day_of_week", "dow", "day_of_year", "doy", "quarter",
+                    "week", "date_trunc", "date_add", "date_diff"):
+        return None
+    if name in ("date_trunc", "date_add", "date_diff"):
+        unit = _lit_str(expr.args[0]).lower()
+    if name in ("day_of_week", "dow"):
+        a = args[0]
+        v = (_to_days(a) + 3) % 7 + 1           # ISO: 1=Mon … 7=Sun
+        return DCol(T.BIGINT, PLAIN, v.astype(jnp.int64),
+                    validity=a.validity)
+    if name in ("day_of_year", "doy"):
+        a = args[0]
+        days = _to_days(a)
+        y, _, _ = civil_from_days(days)
+        jan1 = days_from_civil(y, jnp.int64(1), jnp.int64(1))
+        return DCol(T.BIGINT, PLAIN, (days - jan1 + 1).astype(jnp.int64),
+                    validity=a.validity)
+    if name == "quarter":
+        a = args[0]
+        _, m, _ = civil_from_days(_to_days(a))
+        return DCol(T.BIGINT, PLAIN, ((m + 2) // 3).astype(jnp.int64),
+                    validity=a.validity)
+    if name == "week":
+        a = args[0]
+        days = _to_days(a)
+        dow = (days + 3) % 7 + 1
+        thursday = days + (4 - dow)             # ISO week-of-year rule
+        y, _, _ = civil_from_days(thursday)
+        jan1 = days_from_civil(y, jnp.int64(1), jnp.int64(1))
+        return DCol(T.BIGINT, PLAIN,
+                    ((thursday - jan1) // 7 + 1).astype(jnp.int64),
+                    validity=a.validity)
+    if name == "date_trunc":
+        a = args[1]
+        if isinstance(a.dtype, T.TimestampType):
+            us = a.values.astype(jnp.int64)
+            scale = {"second": 10**6, "minute": 60 * 10**6,
+                     "hour": 3600 * 10**6, "day": 86400 * 10**6}
+            if unit in scale:
+                v = jnp.floor_divide(us, scale[unit]) * scale[unit]
+            else:
+                days = jnp.floor_divide(us, 86400 * 10**6)
+                v = _trunc_days(days, unit) * (86400 * 10**6)
+            return DCol(a.dtype, PLAIN, v, validity=a.validity)
+        days = _to_days(a)
+        return DCol(T.DATE, PLAIN,
+                    _trunc_days(days, unit).astype(jnp.int32),
+                    validity=a.validity)
+    if name == "date_add":
+        k = args[1].values.astype(jnp.int64)
+        a = args[2]
+        days = _to_days(a)
+        if unit == "day":
+            v = days + k
+        elif unit == "week":
+            v = days + 7 * k
+        elif unit in ("month", "year"):
+            y, m, d = civil_from_days(days)
+            months = y * 12 + (m - 1) + (k if unit == "month" else 12 * k)
+            ny, nm = months // 12, months % 12 + 1
+            ndays_in = days_from_civil(
+                jnp.where(nm == 12, ny + 1, ny),
+                jnp.where(nm == 12, 1, nm + 1), jnp.int64(1)) - \
+                days_from_civil(ny, nm, jnp.int64(1))
+            v = days_from_civil(ny, nm, jnp.minimum(d, ndays_in))
+        else:
+            raise NotImplementedError(f"date_add unit {unit}")
+        return DCol(T.DATE, PLAIN, v.astype(jnp.int32),
+                    validity=_and_validity(args[1].validity, a.validity))
+    if name == "date_diff":
+        a, b = args[1], args[2]
+        da, db = _to_days(a), _to_days(b)
+        if unit == "day":
+            v = db - da
+        elif unit == "week":
+            v = (db - da) // 7
+        elif unit in ("month", "year"):
+            ya, ma, dda = civil_from_days(da)
+            yb, mb, ddb = civil_from_days(db)
+            months = (yb * 12 + mb) - (ya * 12 + ma) - (ddb < dda)
+            v = months // 12 if unit == "year" else months
+        else:
+            raise NotImplementedError(f"date_diff unit {unit}")
+        return DCol(T.BIGINT, PLAIN, v.astype(jnp.int64),
+                    validity=_and_validity(a.validity, b.validity))
+    return None
+
+
+def _trunc_days(days, unit):
+    y, m, d = civil_from_days(days)
+    if unit == "day":
+        return days
+    if unit == "week":
+        return days - ((days + 3) % 7)
+    if unit == "month":
+        return days_from_civil(y, m, jnp.int64(1))
+    if unit == "quarter":
+        return days_from_civil(y, ((m - 1) // 3) * 3 + 1, jnp.int64(1))
+    if unit == "year":
+        return days_from_civil(y, jnp.int64(1), jnp.int64(1))
+    raise NotImplementedError(f"date_trunc unit {unit}")
 
 
 def _pos_grid(w: int, lengths: jnp.ndarray) -> jnp.ndarray:

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..data import types as T
 from ..data.column import PLAIN, DICT, BYTES
+from ..data.column import ARRAY as COL_ARRAY, MAP as COL_MAP
 from ..ops import agg as A
 from ..ops import hashtable as HT
 from ..ops import hll as HLL
@@ -270,8 +271,51 @@ def _key_arrays(chunk: Chunk, exprs: Sequence[ir.Expr]) -> List[jnp.ndarray]:
     return out
 
 
+def _direct_group_ids(chunk: Chunk, exprs, capacity: int):
+    """Perfect-hash group ids for statically-small key domains.
+
+    When every group key is a dictionary-coded string or a boolean, the
+    group id is the composite code — no sort, no table (the
+    ``BigintGroupByHash`` small-domain specialization,
+    ``operator/BigintGroupByHash.java:53``).  Domain sizes are static
+    (dictionary length), so this is a trace-time decision.  Returns None
+    when any key's domain is unknown or the product exceeds the bcast
+    budget."""
+    cols, sizes = [], []
+    for e in exprs:
+        c = eval_expr(e, chunk)
+        if c.kind == DICT:
+            sizes.append(max(len(c.dictionary), 1))
+        elif isinstance(c.dtype, T.BooleanType):
+            sizes.append(2)
+        else:
+            return None
+        cols.append(c.values.astype(jnp.int32))
+    prod = 1
+    for s in sizes:
+        prod *= s
+    if prod > capacity or prod > A.SEG_BCAST_CAP:
+        return None
+    n = chunk.n_rows
+    gid = jnp.zeros((n,), jnp.int32)
+    for c, s in zip(cols, sizes):
+        gid = gid * s + jnp.clip(c, 0, s - 1)
+    slot_of_row = jnp.where(chunk.mask, gid, -1)
+    rowid = jnp.arange(n, dtype=jnp.int32)
+    sel = (gid[None, :] == jnp.arange(prod, dtype=jnp.int32)[:, None]) \
+        & chunk.mask[None, :]
+    first = jnp.min(jnp.where(sel, rowid[None, :], n), axis=1)
+    owner_small = jnp.where(first < n, first, HT.EMPTY).astype(jnp.int32)
+    owner = jnp.full((capacity,), HT.EMPTY, jnp.int32).at[:prod].set(
+        owner_small)
+    return owner, slot_of_row, jnp.bool_(False)
+
+
 @partial(jax.jit, static_argnames=("exprs", "capacity"))
 def _insert_kernel(chunk: Chunk, exprs, capacity: int):
+    direct = _direct_group_ids(chunk, exprs, capacity)
+    if direct is not None:
+        return direct
     keys = _key_arrays(chunk, exprs)
     return HT.insert(keys, chunk.mask, capacity)
 
@@ -345,11 +389,21 @@ def _execute_node(plan: PhysOp, ctx: ExecContext) -> Chunk:
         return ctx.datasource.scan(plan.table, plan.columns, plan.alias_prefix)
     if isinstance(plan, PhysFilter):
         child = execute(plan.child, ctx)
-        mask = _filter_kernel(child, plan.predicate)
+        try:
+            mask = _filter_kernel(child, plan.predicate)
+        except NotImplementedError:
+            # host-evaluated string function (regex/JSON over raw bytes):
+            # run the expression eagerly instead of tracing it
+            mask = eval_predicate(plan.predicate, child) & child.mask
         return _maybe_compact(Chunk(child.cols, mask), ctx)
     if isinstance(plan, PhysProject):
         child = execute(plan.child, ctx)
-        return _project_kernel(child, plan.projections)
+        try:
+            return _project_kernel(child, plan.projections)
+        except NotImplementedError:
+            cols = {name: eval_expr(e, child)
+                    for name, e in plan.projections}
+            return Chunk(cols, child.mask)
     if isinstance(plan, PhysHashAggregate):
         return _exec_agg(plan, ctx)
     if isinstance(plan, PhysHashJoin):
@@ -1038,6 +1092,12 @@ def _agg_output_type(spec: AggSpec) -> T.DataType:
     at = spec.arg.dtype
     if spec.func in ("min_by", "max_by", "approx_percentile"):
         return at  # value argument's type
+    if spec.func == "array_agg":
+        return T.array(at)
+    if spec.func == "map_agg":
+        return T.map_(at, spec.arg2.dtype)
+    if spec.func == "histogram":
+        return T.map_(at, T.BIGINT)
     if spec.func == "sum":
         return T.decimal(38, _scale_of(at)) if T.is_decimal(at) else T.BIGINT
     if spec.func == "avg":
@@ -1048,7 +1108,21 @@ def _agg_output_type(spec: AggSpec) -> T.DataType:
 def _exec_agg(plan: PhysHashAggregate, ctx: ExecContext) -> Chunk:
     child = execute(plan.child, ctx)
     if not plan.groups:
-        return _exec_global_agg(plan, child)
+        packs = [s for s in plan.aggs if s.func in _PACK_AGGS]
+        if not packs:
+            return _exec_global_agg(plan, child)
+        # nested-value aggregates over the whole input: one implicit group
+        rest = PhysHashAggregate(
+            plan.child, (), tuple(s for s in plan.aggs
+                                  if s.func not in _PACK_AGGS),
+            plan.ndv_hint)
+        out = _exec_global_agg(rest, child) if rest.aggs else \
+            Chunk({}, jnp.ones((1,), jnp.bool_))
+        slot0 = jnp.zeros((child.n_rows,), jnp.int32)
+        cols = dict(out.cols)
+        for spec in packs:
+            cols[spec.name] = _agg_pack(spec, child, slot0, 1, out.mask)
+        return Chunk(cols, out.mask)
     pool = getattr(ctx, "pool", None)
     if pool is not None and pool.budget is not None:
         from ..utils.memory import chunk_bytes
@@ -1108,8 +1182,8 @@ def _agg_core(plan: PhysHashAggregate, child: Chunk,
             c = eval_expr(e, chunk)
             out[name] = c.take(rep, valid=gvalid)
         for spec in aggs:
-            if spec.distinct:
-                continue  # handled outside (extra insert pass)
+            if spec.distinct or spec.func in _PACK_AGGS:
+                continue  # handled outside (extra insert / host-read pass)
             out[spec.name] = _agg_col(spec, chunk, slot, capacity, gvalid)
         return Chunk(out, gvalid)
 
@@ -1122,7 +1196,109 @@ def _agg_core(plan: PhysHashAggregate, child: Chunk,
             out_cols[spec.name] = _agg_distinct(
                 spec, child, slot, capacity, out.mask, group_exprs)
         out = Chunk(out_cols, out.mask)
+    pack_specs = [s for s in plan.aggs
+                  if s.func in _PACK_AGGS and not s.distinct]
+    if pack_specs:
+        out_cols = dict(out.cols)
+        for spec in pack_specs:
+            out_cols[spec.name] = _agg_pack(
+                spec, child, slot, capacity, out.mask)
+        out = Chunk(out_cols, out.mask)
     return _maybe_compact(out, ctx)
+
+
+# group aggregates returning nested values: need a host-read of the max
+# group cardinality (static width), so they run outside the fused trace
+_PACK_AGGS = frozenset({"array_agg", "map_agg", "histogram"})
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _group_positions(slot, vmask, capacity):
+    """(pos_in_group [N], counts [capacity]): each masked-in row's rank
+    within its group (row order) — one stable sort + boundary scatter."""
+    n = slot.shape[0]
+    key = jnp.where(vmask, slot, capacity).astype(jnp.int32)
+    perm = jnp.argsort(key, stable=True)
+    sk = key[perm]
+    valid = sk < capacity
+    newrun = valid & jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+    lo, hi = HT.run_bounds(sk, newrun, valid, capacity)
+    pos_sorted = jnp.arange(n, dtype=jnp.int32) - \
+        lo[jnp.minimum(sk, capacity - 1)]
+    inv = jnp.argsort(perm)
+    return jnp.where(vmask, pos_sorted[inv], -1), hi - lo
+
+
+@partial(jax.jit, static_argnames=("capacity", "width"))
+def _group_pack_kernel(vals, slot, pos, vmask, capacity, width):
+    """[capacity, width]: group g's masked-in values packed left in row
+    order (the device form of ``ArrayAggregationState`` accumulation)."""
+    ok = vmask & (pos >= 0) & (pos < width)
+    g = jnp.where(ok, slot, capacity).astype(jnp.int32)
+    p = jnp.clip(pos, 0, max(width - 1, 0)).astype(jnp.int32)
+    out = jnp.zeros((capacity, max(width, 1)), vals.dtype)
+    return out.at[g, p].set(vals, mode="drop")[:, :width] if width else \
+        jnp.zeros((capacity, 0), vals.dtype)
+
+
+def _agg_pack(spec: AggSpec, chunk: Chunk, slot, capacity,
+              gvalid) -> DCol:
+    """array_agg / map_agg / histogram: nested-value group aggregates
+    (reference: ``operator/aggregation/arrayagg``, ``mapagg``,
+    ``Histogram.java``).  The group width (max cardinality) is read on the
+    host, making the pack a static-shape scatter."""
+    def scalarize(col: DCol) -> DCol:
+        """BYTES strings → dictionary codes (this path is eager, so the
+        host can intern the distinct strings)."""
+        if col.kind != BYTES:
+            return col
+        from ..data.column import strings_from_bytes
+        from .columns import Dictionary
+        strs = np.asarray(
+            strings_from_bytes(np.asarray(col.values),
+                               np.asarray(col.lengths)), dtype=object)
+        uniq, codes = np.unique(strs.astype(str), return_inverse=True)
+        return DCol(col.dtype, DICT, jnp.asarray(codes.astype(np.int32)),
+                    validity=col.validity,
+                    dictionary=Dictionary(uniq.astype(object)))
+
+    c = scalarize(eval_expr(spec.arg, chunk))
+    ot = _agg_output_type(spec)
+    if spec.func == "histogram":
+        # dedup (group, value) pairs, count each, then pack the
+        # representative pairs per group as a value→count map
+        vmask = chunk.mask & (slot >= 0) & c.valid_or_true()
+        pair_keys = [slot.astype(jnp.int64)] + _key_arrays(
+            Chunk({"v": c}, vmask), (ir.ColumnRef("v", c.dtype),))
+        pair_cap = HT.next_pow2(2 * chunk.n_rows)
+        powner, pslot, _ = HT.insert(pair_keys, vmask, pair_cap)
+        pair_cnt = A.seg_count(pslot, vmask, pair_cap)
+        rep_valid = powner != HT.EMPTY
+        rep = jnp.minimum(powner, chunk.n_rows - 1)
+        rep_group = jnp.where(rep_valid, slot[rep], -1)
+        rep_val = c.values[rep]
+        rep_n = pair_cnt  # count per pair id == per representative
+        pos, counts = _group_positions(rep_group, rep_valid, capacity)
+        width = int(jnp.max(counts)) if counts.shape[0] else 0
+        keys_m = _group_pack_kernel(rep_val, rep_group, pos, rep_valid,
+                                    capacity, width)
+        cnts_m = _group_pack_kernel(rep_n.astype(jnp.int64), rep_group,
+                                    pos, rep_valid, capacity, width)
+        return DCol(ot, COL_MAP, keys_m, counts.astype(jnp.int32),
+                    gvalid, c.dictionary, cnts_m)
+    vmask = chunk.mask & (slot >= 0) & c.valid_or_true()
+    pos, counts = _group_positions(slot, vmask, capacity)
+    width = int(jnp.max(counts)) if counts.shape[0] else 0
+    vals_m = _group_pack_kernel(c.values, slot, pos, vmask, capacity, width)
+    if spec.func == "map_agg":
+        v2 = scalarize(eval_expr(spec.arg2, chunk))
+        vals2_m = _group_pack_kernel(v2.values, slot, pos, vmask,
+                                     capacity, width)
+        return DCol(ot, COL_MAP, vals_m, counts.astype(jnp.int32),
+                    gvalid, c.dictionary or v2.dictionary, vals2_m)
+    return DCol(ot, COL_ARRAY, vals_m, counts.astype(jnp.int32),
+                gvalid, c.dictionary)
 
 
 def _seg_sum128(vals, slot, vmask, capacity):

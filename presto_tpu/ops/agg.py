@@ -71,15 +71,18 @@ def _bcast_reduce(values, group, mask, capacity, init, op):
 def _sorted_runs(group, mask, capacity):
     """Shared sort of group ids (identical HLO across the aggregates of one
     node — XLA CSE runs it once).  Returns (perm, sorted_keys, lo, hi):
-    rows of slot s occupy sorted positions [lo[s], hi[s])."""
+    rows of slot s occupy sorted positions [lo[s], hi[s]).  Run bounds by
+    boundary scatter — searchsorted costs ~0.7 µs/slot on TPU."""
+    from .hashtable import run_bounds
     key = jnp.where(mask & (group >= 0), group.astype(jnp.int32),
                     jnp.int32(capacity))
     perm = jnp.argsort(key)
     sk = key[perm]
-    slots = jnp.arange(capacity, dtype=jnp.int32)
-    lo = jnp.searchsorted(sk, slots, side="left").astype(jnp.int64)
-    hi = jnp.searchsorted(sk, slots, side="right").astype(jnp.int64)
-    return perm, sk, lo, hi
+    valid = sk < capacity
+    newrun = valid & jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+    lo, hi = run_bounds(sk, newrun, valid, capacity)
+    return perm, sk, lo.astype(jnp.int64), hi.astype(jnp.int64)
 
 
 def _sort_sum(values, group, mask, capacity, dtype):
@@ -101,9 +104,12 @@ def _sort_extreme(values, group, mask, capacity, init, maximum):
     perm = jnp.argsort(v64, stable=True)
     perm = perm[jnp.argsort(key[perm], stable=True)]  # lexicographic
     sk = key[perm]
-    slots = jnp.arange(capacity, dtype=jnp.int64)
-    lo = jnp.searchsorted(sk, slots, side="left")
-    hi = jnp.searchsorted(sk, slots, side="right")
+    valid = sk < capacity
+    newrun = valid & jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+    from .hashtable import run_bounds
+    lo, hi = run_bounds(sk.astype(jnp.int32), newrun, valid, capacity)
+    lo, hi = lo.astype(jnp.int64), hi.astype(jnp.int64)
     sv = values[perm]
     n = sv.shape[0]
     pick = jnp.where(hi > lo,

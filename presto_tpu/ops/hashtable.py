@@ -1,4 +1,4 @@
-"""Vectorized open-addressing hash table over device arrays.
+"""Sort-based group/join tables over device arrays.
 
 The TPU-native redesign of the reference's two hash-table kernels:
 
@@ -7,17 +7,28 @@ The TPU-native redesign of the reference's two hash-table kernels:
 - ``operator/MultiChannelGroupByHash.java:55`` (group-by: open addressing,
   ``putIfAbsent:281``)
 
-Both are scalar row-at-a-time loops there; here insertion is a data-parallel
-fixpoint: every pending row scatter-min-races for its slot, winners claim it,
-losers with equal keys adopt it, others advance to the next slot — all rows
-advance together per round, so the number of rounds is the longest probe
-sequence (O(log N) at load factor ≤ 1/2), not O(N).  Rows with equal keys
-follow identical probe paths, which guarantees one slot per distinct key.
-Duplicate build rows are organized into CSR "position links" with one stable
-argsort instead of per-row chain updates.
+Both are scalar row-at-a-time loops there.  Round 2 replaced them with a
+data-parallel scatter-race fixpoint; hardware measurement (TPU v5e, 6M
+rows) showed XLA lowers the colliding scatters to ~0.5 Mrows/s — three
+orders of magnitude off the sort unit.  This round's design uses the
+TPU's fast primitives only — sort, cumsum, gather, searchsorted:
 
-Everything is jit-compatible with static shapes: `capacity` is a static
-power of two; row validity is a mask.
+- ``insert`` (group-ids): stable lexicographic sort of the key columns
+  (valid rows first), run-boundary detection, prefix-sum → DENSE group
+  ids in [0, G).  One extra argsort inverts the permutation.  ~100 ms at
+  6M rows vs 10.9 s for the fixpoint.
+- ``build`` (join table): the same sort; the sorted order IS the CSR
+  layout (rows of one key are contiguous, in row order, because the
+  sort is stable), so "position links" cost nothing extra.
+- probing: vectorized LEXICOGRAPHIC BINARY SEARCH over the sorted key
+  columns — log2(N) rounds of gathers, no scatter, no data-dependent
+  loop trips.  Works for any key arity; no hash collisions exist at all.
+
+"Slots" are dense run ids in [0, capacity): ``owner[g]`` is the lowest
+row id of group g (EMPTY beyond G), ``slot_of_row[i]`` its group id (-1
+masked-out).  ``capacity`` stays a static power of two; ``overflow``
+fires when G > capacity and the caller's retry logic regrows, exactly
+like the fixpoint's contract (``MultiChannelGroupByHash.java:364``).
 """
 
 from __future__ import annotations
@@ -28,173 +39,219 @@ from typing import List, NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from .hashing import hash_keys
-
 import numpy as np
 
 EMPTY = np.int32(2**31 - 1)  # slot-owner sentinel: no row claimed
 
 
 class HashTable(NamedTuple):
-    """Device hash table: slot -> representative build row (+ CSR links)."""
+    """Device join table: dense key-runs over a sorted row permutation."""
 
-    owner: jnp.ndarray      # int32 [capacity]: row id of slot's first key, or EMPTY
-    keys: List[jnp.ndarray]  # build key columns [N] (referenced, not copied)
-    slot_of_row: jnp.ndarray  # int32 [N]: slot of each (masked-in) build row, -1 else
-    counts: jnp.ndarray     # int32 [capacity]: rows per slot
-    offsets: jnp.ndarray    # int32 [capacity]: CSR start per slot
-    rows_csr: jnp.ndarray   # int32 [N]: build row ids grouped by slot
+    owner: jnp.ndarray      # int32 [capacity]: lowest row id per run, EMPTY beyond
+    keys: List[jnp.ndarray]  # build key columns [N] (original row order)
+    slot_of_row: jnp.ndarray  # int32 [N]: run id of each masked-in row, -1 else
+    counts: jnp.ndarray     # int32 [capacity]: rows per run
+    offsets: jnp.ndarray    # int32 [capacity]: CSR start per run
+    rows_csr: jnp.ndarray   # int32 [N]: build row ids grouped by run (sorted perm)
+    sorted_keys: List[jnp.ndarray]  # key columns in sorted order [N]
+    run_of_pos: jnp.ndarray  # int32 [N]: run id at each sorted position
+    n_valid: jnp.ndarray    # int64 scalar: count of masked-in build rows
 
     @property
     def capacity(self) -> int:
         return self.owner.shape[0]
 
 
-def _keys_equal(keys: Sequence[jnp.ndarray], rows_a, rows_b):
-    eq = jnp.bool_(True)
-    for k in keys:
-        eq = eq & (k[rows_a] == k[rows_b])
-    return eq
+def _sort_rows(keys: Sequence[jnp.ndarray], mask: jnp.ndarray):
+    """Stable variadic sort: valid rows first, then lexicographic by key
+    columns.  Returns (valid_sorted, keys_sorted, perm).  One lax.sort
+    carries the permutation as payload — sorting then gathering each
+    column separately costs ~100 ms per 6M-row int64 gather on TPU."""
+    n = keys[0].shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ops = ((~mask).astype(jnp.int32),
+           *[k.astype(jnp.int64) for k in keys], iota)
+    out = jax.lax.sort(ops, num_keys=1 + len(keys), is_stable=True)
+    return out[0] == 0, list(out[1:-1]), out[-1]
+
+
+def _run_starts(keys_sorted: Sequence[jnp.ndarray], mask_sorted):
+    """bool [N]: position starts a new (valid) key run."""
+    n = mask_sorted.shape[0]
+    diff = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    for k in keys_sorted:
+        diff = diff | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), k[1:] != k[:-1]])
+    return mask_sorted & diff
+
+
+def run_bounds(gid_sorted: jnp.ndarray, newrun: jnp.ndarray,
+               valid_sorted: jnp.ndarray, capacity: int):
+    """(starts, ends) int32 [capacity] of each dense-id run in a sorted id
+    array; zero-length beyond the last id.  Scatter at run boundaries —
+    O(1) per row; jnp.searchsorted would cost ~0.7 µs/slot on TPU (it
+    lowers to a serial scan, measured 4 s for 6M queries)."""
+    n = gid_sorted.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_end = valid_sorted & jnp.concatenate(
+        [newrun[1:] | ~valid_sorted[1:], jnp.ones((1,), jnp.bool_)])
+    gid_cl = jnp.minimum(gid_sorted, capacity)  # ids ≥ capacity dropped
+    s_idx = jnp.where(newrun, gid_cl, capacity)
+    e_idx = jnp.where(is_end, gid_cl, capacity)
+    starts = jnp.zeros((capacity,), jnp.int32).at[s_idx].set(
+        pos, mode="drop")
+    ends = jnp.zeros((capacity,), jnp.int32).at[e_idx].set(
+        pos + 1, mode="drop")
+    return starts, ends
 
 
 def insert(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int):
-    """Assign one slot per distinct key.
+    """Assign one dense id per distinct key (sort → runs → prefix-sum).
 
-    Returns (owner[capacity], slot_of_row[N], overflow): ``owner[s]`` is the
-    lowest row id holding slot ``s``'s key (EMPTY if unused);
-    ``slot_of_row[i]`` is the slot of row i's key (-1 for masked-out rows).
-    ``overflow`` (bool scalar) is set when the table filled before all rows
-    settled — the caller retries with doubled capacity (the shape-bucketing
-    answer to ``MultiChannelGroupByHash.java:364`` rehash()).
+    Returns (owner[capacity], slot_of_row[N], overflow): ``owner[g]`` is
+    the lowest row id holding group ``g``'s key (EMPTY if unused);
+    ``slot_of_row[i]`` is row i's group id (-1 for masked-out rows);
+    ``overflow`` is set when more than ``capacity`` distinct keys exist
+    (ids ≥ capacity are dropped by the segment kernels' OOB handling and
+    the caller retries with a grown capacity).
     """
     n = keys[0].shape[0]
-    cap_mask = jnp.uint32(capacity - 1)
-    h = (hash_keys(keys) & cap_mask).astype(jnp.int32)
-    rowid = jnp.arange(n, dtype=jnp.int32)
-
-    owner0 = jnp.full((capacity,), EMPTY, dtype=jnp.int32)
-    slot0 = h
-    assigned0 = jnp.full((n,), -1, dtype=jnp.int32)
-    pending0 = mask
-    # Round budget: at load <= 1/2 with murmur-mixed hashes the longest
-    # probe path is O(log n) whp, so a generous logarithmic budget settles
-    # every row; when the table overflows, unsettleable rows would otherwise
-    # spin for `capacity` O(n) rounds (minutes) before reporting — instead
-    # exit early and let the caller's overflow-retry regrow the table.
-    max_rounds = jnp.int32(min(capacity + 1,
-                               96 + 16 * max(capacity.bit_length(), 1)))
-
-    def cond(state):
-        _, _, _, pending, rounds = state
-        return pending.any() & (rounds < max_rounds)
-
-    def body(state):
-        owner, assigned, slot, pending, rounds = state
-        # Only rows at a currently-empty slot race to claim it (a claimed
-        # slot must never be re-claimed by a lower row id of another key).
-        racing = pending & (owner[slot] == EMPTY)
-        idx = jnp.where(racing, slot, capacity)  # OOB drops non-racers
-        owner = owner.at[idx].min(jnp.where(racing, rowid, EMPTY), mode="drop")
-        occ = owner[slot]
-        won = pending & (occ == rowid)
-        adopt = pending & ~won & (occ != EMPTY) & _keys_equal(
-            keys, jnp.minimum(occ, n - 1), rowid)
-        settled = won | adopt
-        assigned = jnp.where(settled, slot, assigned)
-        pending = pending & ~settled
-        slot = jnp.where(pending, (slot + 1) & jnp.int32(capacity - 1), slot)
-        return owner, assigned, slot, pending, rounds + 1
-
-    owner, assigned, _, pending, _ = jax.lax.while_loop(
-        cond, body, (owner0, assigned0, slot0, pending0, jnp.int32(0)))
-    return owner, assigned, pending.any()
+    if n == 0:
+        return (jnp.full((capacity,), EMPTY, jnp.int32),
+                jnp.zeros((0,), jnp.int32), jnp.bool_(False))
+    sm, ks, perm = _sort_rows(keys, mask)
+    newrun = _run_starts(ks, sm)
+    gid_sorted = (jnp.cumsum(newrun.astype(jnp.int32)) - 1)
+    total = jnp.where(sm.any(), gid_sorted[-1] + 1, 0)
+    # inverse permutation applied directly: row → group id (unique-index
+    # scatter; cheaper than argsort-invert + gather)
+    slot_of_row = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.where(sm, gid_sorted, -1))
+    starts, _ = run_bounds(gid_sorted, newrun, sm, capacity)
+    owner = jnp.where(jnp.arange(capacity) < total,
+                      perm[starts].astype(jnp.int32), EMPTY)
+    overflow = total > capacity
+    return owner, slot_of_row, overflow
 
 
-def lookup(table_owner: jnp.ndarray, build_keys: Sequence[jnp.ndarray],
-           probe_keys: Sequence[jnp.ndarray], probe_mask: jnp.ndarray):
-    """Find the slot of each probe key in a built table (no insertion).
+def _lex_search(sorted_keys: Sequence[jnp.ndarray],
+                probe_keys: Sequence[jnp.ndarray],
+                n_valid) -> jnp.ndarray:
+    """First sorted position in [0, n_valid) whose key tuple >= probe
+    (vectorized lexicographic binary search; log2(N) gather rounds)."""
+    n = sorted_keys[0].shape[0]
+    p = probe_keys[0].shape[0]
+    lo = jnp.zeros((p,), jnp.int32)
+    hi = jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32), (p,))
+    rounds = max(int(n).bit_length(), 1)
 
-    Returns slot[N_probe] int32, -1 where the key is absent or masked out.
-    Linear probing stops at the first empty slot (no deletions ever happen).
-    """
-    capacity = table_owner.shape[0]
-    n_build = build_keys[0].shape[0]
-    h = (hash_keys(probe_keys) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        midc = jnp.minimum(mid, n - 1)
+        lt = jnp.zeros((p,), jnp.bool_)
+        eq = jnp.ones((p,), jnp.bool_)
+        for sk, pk in zip(sorted_keys, probe_keys):
+            sv = sk[midc]
+            pv = pk.astype(sv.dtype)
+            lt = lt | (eq & (sv < pv))
+            eq = eq & (sv == pv)
+        go = lo < hi
+        lo = jnp.where(go & lt, mid + 1, lo)
+        hi = jnp.where(go & ~lt, mid, hi)
+        return lo, hi
 
-    # Pallas tier: single integer key + table small enough to pin in VMEM
-    # (owner + key lo/hi words resident across the whole probe stream).
+    lo, _ = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+    return lo
+
+
+def _merged_lower_bound(sorted_cols: Sequence[jnp.ndarray],
+                        probe_cols: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Lower-bound positions of probes in a sorted table via ONE stable
+    sort of the concatenation (probe rows first, so ties resolve to the
+    left).  For each probe at merged position p, its position in the
+    table is p minus the number of probes at or before p.  O(sort) —
+    jnp.searchsorted is ~30× slower on TPU at millions of queries."""
+    nB = probe_cols[0].shape[0]
+    n = nB + sorted_cols[0].shape[0]
+    cols = [jnp.concatenate([p, s]) for p, s in zip(probe_cols, sorted_cols)]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort((*cols, iota), num_keys=len(cols), is_stable=True)
+    perm = out[-1]
+    isB = (perm < nB).astype(jnp.int32)
+    cntB = jnp.cumsum(isB)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(iota)
+    p = inv[:nB]
+    return p - cntB[p] + 1
+
+
+def lookup(table: "HashTable", probe_keys: Sequence[jnp.ndarray],
+           probe_mask: jnp.ndarray):
+    """Find each probe key's run id in a built table (sorted lower-bound +
+    exact-equality verification).  Returns int32 [P], -1 = absent."""
+    n = table.sorted_keys[0].shape[0]
+    nb = probe_keys[0].shape[0]
+    probe64 = [k.astype(jnp.int64) for k in probe_keys]
     from . import pallas_kernels as PK
-    if (PK.enabled() and len(build_keys) == 1
-            and build_keys[0].ndim == 1
-            and jnp.issubdtype(build_keys[0].dtype, jnp.integer)
-            and PK.LANES <= capacity <= PK.MAX_VMEM_TABLE_SLOTS):
-        slot_keys = build_keys[0][jnp.minimum(table_owner, n_build - 1)]
-        res = PK.hash_probe(table_owner, slot_keys,
-                            probe_keys[0].astype(jnp.int64), h,
-                            interpret=PK._interpret())
-        return jnp.where(probe_mask, res, jnp.int32(-1))
-
-    max_rounds = jnp.int32(capacity + 1)  # full sweep ⇒ key definitely absent
-
-    def cond(state):
-        _, _, pending, rounds = state
-        return pending.any() & (rounds < max_rounds)
-
-    def body(state):
-        slot, result, pending, rounds = state
-        occ = table_owner[slot]
-        empty = occ == EMPTY
-        occ_c = jnp.minimum(occ, n_build - 1)
-        eq = jnp.bool_(True)
-        for bk, pk in zip(build_keys, probe_keys):
-            eq = eq & (bk[occ_c] == pk)
-        found = pending & ~empty & eq
-        missing = pending & empty
-        result = jnp.where(found, slot, result)
-        pending = pending & ~found & ~missing
-        slot = jnp.where(pending, (slot + 1) & jnp.int32(capacity - 1), slot)
-        return slot, result, pending, rounds + 1
-
-    _, result, _, _ = jax.lax.while_loop(
-        cond, body, (h, jnp.full_like(h, -1), probe_mask, jnp.int32(0)))
-    return result
+    if (PK.enabled() and len(table.sorted_keys) == 1
+            and n <= PK.MAX_VMEM_TABLE_SLOTS):
+        # Pallas tier: sorted table pinned in VMEM for the whole stream
+        pos = PK.sorted_probe(table.sorted_keys[0], probe64[0],
+                              table.n_valid, interpret=PK._interpret())
+    elif nb * 32 < n:
+        # few probes, big table: log(n) gather rounds beat a merge sort
+        pos = _lex_search(table.sorted_keys, probe64, table.n_valid)
+    else:
+        pos = _merged_lower_bound(table.sorted_keys, probe64)
+    posc = jnp.minimum(pos, n - 1)
+    eq = pos < jnp.asarray(table.n_valid, jnp.int32)
+    for sk, pk in zip(table.sorted_keys, probe_keys):
+        eq = eq & (sk[posc] == pk.astype(jnp.int64))
+    slot = jnp.where(probe_mask & eq, table.run_of_pos[posc], -1)
+    return slot.astype(jnp.int32)
 
 
-def build(keys: Sequence[jnp.ndarray], mask: jnp.ndarray, capacity: int) -> HashTable:
-    """Build a join hash table with CSR duplicate links.
-
-    Replaces ``PagesHash`` + ``ArrayPositionLinks``: one insert fixpoint,
-    one segment count, one stable argsort.
-    """
+def build(keys: Sequence[jnp.ndarray], mask: jnp.ndarray,
+          capacity: int) -> HashTable:
+    """Build a join table: one stable sort gives runs AND the CSR layout
+    (replaces ``PagesHash`` + ``ArrayPositionLinks``)."""
     n = keys[0].shape[0]
-    owner, slot_of_row, _ = insert(keys, mask, capacity)
-    slot_cl = jnp.where(slot_of_row >= 0, slot_of_row, capacity)
-    counts = jnp.zeros((capacity,), jnp.int32).at[slot_cl].add(
-        jnp.int32(1), mode="drop")
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)[:-1]])
-    # stable sort by slot groups duplicate rows contiguously in row order
-    rows_csr = jnp.argsort(slot_cl, stable=True).astype(jnp.int32)
-    return HashTable(owner, list(keys), slot_of_row, counts, offsets, rows_csr)
+    keys64 = [k.astype(jnp.int64) for k in keys]
+    sm, raw_sorted, perm = _sort_rows(keys64, mask)
+    newrun = _run_starts(raw_sorted, sm)
+    # invalid tail keys → +MAX sentinel so the full column is globally
+    # sorted (probe lower-bounds that land in the tail map to run -1)
+    sorted_keys = [jnp.where(sm, k, jnp.int64(2**63 - 1))
+                   for k in raw_sorted]
+    gid_sorted = (jnp.cumsum(newrun.astype(jnp.int32)) - 1)
+    total = jnp.where(sm.any(), gid_sorted[-1] + 1, 0)
+    slot_of_row = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.where(sm, gid_sorted, -1))
+    starts, ends = run_bounds(gid_sorted, newrun, sm, capacity)
+    in_range = jnp.arange(capacity, dtype=jnp.int32) < total
+    owner = jnp.where(in_range, perm[starts].astype(jnp.int32), EMPTY)
+    counts = jnp.where(in_range, ends - starts, 0)
+    run_of_pos = jnp.where(sm, gid_sorted, -1).astype(jnp.int32)
+    return HashTable(owner, list(keys64), slot_of_row, counts, starts,
+                     perm.astype(jnp.int32), sorted_keys, run_of_pos,
+                     jnp.sum(sm, dtype=jnp.int64))
 
 
 def probe_unique(table: HashTable, probe_keys: Sequence[jnp.ndarray],
                  probe_mask: jnp.ndarray):
     """Probe assuming build keys are unique (PK side of a FK join).
 
-    Returns (build_row[N_probe] int32 with -1 = no match).  This is the fast
-    path for every PK–FK join in TPC-H: output shape == probe shape, fully
-    static — the TPU answer to the reference's per-row join loop
-    (``operator/join/DefaultPageJoiner.java:265``).
-    """
-    slot = lookup(table.owner, table.keys, probe_keys, probe_mask)
+    Returns build_row[P] int32 with -1 = no match — the fast path for
+    every PK–FK join in TPC-H: output shape == probe shape, fully static
+    (the TPU answer to ``operator/join/DefaultPageJoiner.java:265``)."""
+    slot = lookup(table, probe_keys, probe_mask)
     return jnp.where(slot >= 0, table.owner[jnp.maximum(slot, 0)], -1)
 
 
 def probe_counts(table: HashTable, probe_keys: Sequence[jnp.ndarray],
                  probe_mask: jnp.ndarray):
     """Per-probe-row match count (for two-pass expanding joins)."""
-    slot = lookup(table.owner, table.keys, probe_keys, probe_mask)
+    slot = lookup(table, probe_keys, probe_mask)
     cnt = jnp.where(slot >= 0, table.counts[jnp.maximum(slot, 0)], 0)
     return slot, cnt.astype(jnp.int32)
 
@@ -222,7 +279,12 @@ def expand_matches(table: HashTable, slot: jnp.ndarray, cnt: jnp.ndarray,
     starts = ends - cnt_eff
     total = ends[-1] if cnt_eff.shape[0] else jnp.int32(0)
     j = jnp.arange(out_size, dtype=ends.dtype)
-    probe_row = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    # probe_row[j] = #{i : ends[i] <= j} — a histogram of `ends` values
+    # prefix-summed (searchsorted with millions of queries is ~0.7 µs each
+    # on TPU; the scatter-add histogram is one pass)
+    hist = jnp.zeros((out_size + 1,), jnp.int32).at[
+        jnp.minimum(ends, out_size).astype(jnp.int32)].add(1, mode="drop")
+    probe_row = jnp.cumsum(hist)[:out_size].astype(jnp.int32)
     probe_cl = jnp.minimum(probe_row, cnt.shape[0] - 1)
     k = j - starts[probe_cl]
     s = jnp.maximum(slot[probe_cl], 0)
@@ -244,6 +306,6 @@ def next_pow2(n: int) -> int:
 
 
 def capacity_for(n_keys: int, load: float = 0.5) -> int:
-    """Power-of-2 capacity at fill factor <= load (PagesHash uses 0.75;
-    we default to 0.5 to shorten vectorized probe fixpoints)."""
+    """Power-of-2 capacity bound on distinct keys (kept ≥ 2× the estimate
+    so under-estimates rarely trip the overflow retry)."""
     return max(8, next_pow2(int(n_keys / load) + 1))

@@ -7,10 +7,12 @@ the paths where explicit VMEM control wins:
 - ``masked_sum``:     streaming blocked reduction (filter+sum fusion with
                       explicit [block, 128]-tiled accumulation — the Q6
                       inner loop shape)
-- ``hash_probe``:     linear-probe lookup with the table resident in VMEM
-                      (int64 keys carried as int32 lo/hi pairs, since the
-                      VPU is natively 32-bit — the same reasoning as the
-                      reference's byte-prefix filter in PagesHash.java:50)
+- ``sorted_probe``:   vectorized binary search with the sorted key table
+                      resident in VMEM (int64 keys carried as int32 lo/hi
+                      pairs, since the VPU is natively 32-bit — the same
+                      reasoning as the reference's byte-prefix filter in
+                      PagesHash.java:50); every search round's gather hits
+                      VMEM instead of HBM
 
 The engine dispatches to them from ``ops/hashtable.lookup`` and
 ``ops/agg.g_sum`` when the tier is enabled — via
@@ -123,82 +125,74 @@ def masked_sum(values: jnp.ndarray, mask: jnp.ndarray,
             + (jnp.sum(ohi.astype(jnp.int64)) << _SPLIT))
 
 
-# ---------------------------------------------------------------- hash probe
+# ------------------------------------------------------------- sorted probe
 
-def _probe_kernel(owner_ref, klo_ref, khi_ref, plo_ref, phi_ref,
-                  hash_ref, out_ref):
-    """Linear probe with table arrays fully VMEM-resident.
+def _lohi(x):
+    """int64 → (signed hi word, unsigned-low-bits-as-int32).  Comparing
+    (hi signed, lo unsigned) lexicographically == comparing the int64s;
+    the VPU is natively 32-bit so the kernel works on word pairs."""
+    x = x.astype(jnp.int64)
+    return (((x >> 32)).astype(jnp.int32),
+            (x & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32))
 
-    For each probe lane: slot = hash; loop: EMPTY→miss, key-equal→hit,
-    else slot+1 — all lanes advance in lockstep with per-lane done flags
-    (the vectorized form of PagesHash.getAddressIndex:158)."""
-    cap = owner_ref.shape[0] * owner_ref.shape[1]
-    shape = hash_ref.shape
-    slot = hash_ref[:]
-    result = jnp.full(shape, -1, jnp.int32)
-    pending = jnp.ones(shape, jnp.bool_)
+
+def _bsearch_kernel(nvalid_ref, klo_ref, khi_ref, plo_ref, phi_ref,
+                    out_ref, *, rounds):
+    """Vectorized binary search with the SORTED key table VMEM-resident.
+
+    For each probe lane: find the first sorted position whose key >=
+    probe (the Pallas form of ``hashtable._lex_search`` — every round's
+    gather hits VMEM instead of HBM)."""
+    cap = khi_ref.shape[0] * khi_ref.shape[1]
+    shape = phi_ref.shape
+    lo = jnp.zeros(shape, jnp.int32)
+    hi = jnp.full(shape, nvalid_ref[0], jnp.int32)
+    phiv = phi_ref[:]
+    plov = plo_ref[:].astype(jnp.uint32)
 
     def gather(ref, idx):
-        flat_rows = idx // LANES
-        flat_cols = idx % LANES
-        return ref[flat_rows, flat_cols]
+        return ref[idx // LANES, idx % LANES]
 
-    def body(state):
-        slot, result, pending, rounds = state
-        occ = gather(owner_ref, slot)
-        empty = occ == jnp.int32(2**31 - 1)
-        eq = (gather(klo_ref, slot) == plo_ref[:]) & \
-             (gather(khi_ref, slot) == phi_ref[:])
-        found = pending & ~empty & eq
-        result = jnp.where(found, slot, result)
-        pending = pending & ~found & ~empty
-        slot = jnp.where(pending, (slot + 1) % cap, slot)
-        return slot, result, pending, rounds + 1
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        midc = jnp.minimum(mid, cap - 1)
+        shi = gather(khi_ref, midc)
+        slo = gather(klo_ref, midc).astype(jnp.uint32)
+        lt = (shi < phiv) | ((shi == phiv) & (slo < plov))
+        go = lo < hi
+        lo = jnp.where(go & lt, mid + 1, lo)
+        hi = jnp.where(go & ~lt, mid, hi)
+        return lo, hi
 
-    def cond(state):
-        _, _, pending, rounds = state
-        return jnp.any(pending) & (rounds < cap)
-
-    _, result, _, _ = jax.lax.while_loop(
-        cond, body, (slot, result, pending, jnp.int32(0)))
-    out_ref[:] = result
+    lo, _ = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+    out_ref[:] = lo
 
 
-def hash_probe(owner: jnp.ndarray, build_keys: jnp.ndarray,
-               probe_keys: jnp.ndarray, probe_hash: jnp.ndarray,
-               interpret: bool = False) -> jnp.ndarray:
-    """VMEM-resident-table probe.
-
-    owner: int32 [capacity] (EMPTY = 2^31-1); build_keys: int64 [capacity]
-    holding each slot's key (EMPTY slots arbitrary); probe_hash: int32 [N]
-    precomputed start slot of each probe key.  Returns int32 [N]: the SLOT
-    holding the key, or -1 (same contract as ``hashtable.lookup``).
-    """
-    cap = owner.shape[0]
+def sorted_probe(sorted_keys: jnp.ndarray, probe_keys: jnp.ndarray,
+                 n_valid, interpret: bool = False) -> jnp.ndarray:
+    """Lower-bound positions of probe keys in a sorted int64 key column,
+    searching [0, n_valid).  The sorted table stays VMEM-resident across
+    the whole probe stream (caller guarantees it fits:
+    ``MAX_VMEM_TABLE_SLOTS``).  Returns int32 [P] positions; the caller
+    verifies equality and maps positions to run ids."""
+    cap = sorted_keys.shape[0]
+    capp = pl.cdiv(max(cap, 1), LANES) * LANES
     n = probe_keys.shape[0]
     pn = pl.cdiv(max(n, 1), BLOCK) * BLOCK
-
-    def lohi(x):
-        x = x.astype(jnp.int64)
-        return ((x & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32),
-                ((x >> 32) & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
-                .astype(jnp.int32))
-
-    klo, khi = lohi(build_keys)
-    plo, phi = lohi(probe_keys)
+    khi, klo = _lohi(_pad_to(sorted_keys, capp))
+    phi, plo = _lohi(_pad_to(probe_keys, pn))
     rows = BLOCK // LANES
     grid = pn // BLOCK
+    kernel = partial(_bsearch_kernel, rounds=max(int(cap).bit_length(), 1))
     out = pl.pallas_call(
-        _probe_kernel,
+        kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((cap // LANES, LANES), lambda i: (0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((capp // LANES, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap // LANES, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap // LANES, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+            pl.BlockSpec((capp // LANES, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -209,9 +203,7 @@ def hash_probe(owner: jnp.ndarray, build_keys: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pn // LANES, LANES), jnp.int32),
         interpret=interpret,
-    )(owner.reshape(-1, LANES),
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1),
       klo.reshape(-1, LANES), khi.reshape(-1, LANES),
-      _pad_to(plo, pn).reshape(-1, LANES),
-      _pad_to(phi, pn).reshape(-1, LANES),
-      _pad_to(probe_hash.astype(jnp.int32), pn).reshape(-1, LANES))
+      plo.reshape(-1, LANES), phi.reshape(-1, LANES))
     return out.reshape(-1)[:n]

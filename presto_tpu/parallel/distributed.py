@@ -776,7 +776,7 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
     if not plan.groups:
         if any(s.func in _WHOLE_GROUP_FUNCS or s.distinct
                or s.func in PH.VARIANCE_FUNCS or s.func in PH.CORR_FUNCS
-               or s.func in ("bool_and", "bool_or")
+               or s.func in ("bool_and", "bool_or", "approx_percentile")
                for s in plan.aggs):
             # needs all rows together (order statistics / exact distinct
             # dedup; moment aggregates take this path only when GLOBAL —
@@ -791,9 +791,17 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
 # must land on one device (FIXED_HASH route, like distinct).  Variance /
 # correlation / bool families left this set in round 3 — their moment
 # sums (or min/max bits) merge exactly, so they ride the partial→final
-# exchange like sum.
-_WHOLE_GROUP_FUNCS = frozenset(
-    {"min_by", "max_by", "approx_percentile"})
+# exchange like sum.  approx_percentile also left it (bottom-k sample
+# sketch, ``ops/quantile.py``) except at high group cardinality, where
+# the [capacity, k] sample state would dwarf the data.
+_WHOLE_GROUP_FUNCS = frozenset({"min_by", "max_by"})
+_QSKETCH_MAX_NDV = 4096
+
+
+def _needs_whole_group(spec, ndv_hint: int) -> bool:
+    if spec.distinct or spec.func in _WHOLE_GROUP_FUNCS:
+        return True
+    return spec.func == "approx_percentile" and ndv_hint > _QSKETCH_MAX_NDV
 
 
 def partial_agg_states(plan: PH.PhysHashAggregate, child: Chunk,
@@ -835,6 +843,23 @@ def merge_agg_states(plan: PH.PhysHashAggregate, partials: Chunk,
     for sname, sfunc in state_specs:
         c = partials.cols[sname]
         m = partials.mask & (slot2 >= 0) & c.valid_or_true()
+        if sfunc == "qsample_aux":
+            continue  # consumed by the paired #qv merge below
+        if sfunc == "qsample":
+            from ..ops import quantile as Q
+            base = sname[:-3]
+            cp = partials.cols[base + "#qp"]
+            cn = partials.cols[base + "#qn"]
+            mv, mp, mc = Q.merge_states(c.values, cp.values, cn.values,
+                                        slot2, m, capacity)
+            nonempty = mc > 0
+            merged[sname] = DCol(c.dtype, c.kind, mv,
+                                 validity=gvalid2 & nonempty)
+            merged[base + "#qp"] = DCol(T.BIGINT, PLAIN, mp,
+                                        validity=gvalid2 & nonempty)
+            merged[base + "#qn"] = DCol(T.BIGINT, PLAIN, mc,
+                                        validity=gvalid2 & nonempty)
+            continue
         if sfunc == "hll":
             v = HLL.seg_merge(c.values, slot2, m, capacity)
         elif sfunc == "sum":
@@ -866,7 +891,7 @@ def merge_agg_states(plan: PH.PhysHashAggregate, partials: Chunk,
 def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
                               ctx: TraceCtx, key_node=None):
     key_node = key_node if key_node is not None else plan
-    if any(s.distinct or s.func in _WHOLE_GROUP_FUNCS for s in plan.aggs):
+    if any(_needs_whole_group(s, plan.ndv_hint) for s in plan.aggs):
         # FIXED_HASH aggregation: repartition rows by group-key hash so each
         # group lands wholly on one device, aggregate locally (including
         # distinct dedup / order statistics); output stays sharded
@@ -987,6 +1012,20 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
         out.append((f"{spec.name}#hll", "hll",
                     DCol(T.BIGINT, PLAIN, regs, validity=gvalid)))
         return out
+    if spec.func == "approx_percentile":
+        # bottom-k priority sample (ops/quantile.py): merging bottom-k
+        # states is exact, so the sketch rides the exchange like a sum
+        # (reference: qdigest state in ApproximateLongPercentile*)
+        from ..ops import quantile as Q
+        k = Q.k_for(capacity)
+        qv, qp, qc = Q.group_state(c.values, slot, vmask, capacity, k)
+        out.append((f"{spec.name}#qv", "qsample",
+                    DCol(c.dtype, PLAIN, qv, validity=gvalid)))
+        out.append((f"{spec.name}#qp", "qsample_aux",
+                    DCol(T.BIGINT, PLAIN, qp, validity=gvalid)))
+        out.append((f"{spec.name}#qn", "qsample_aux",
+                    DCol(T.BIGINT, PLAIN, qc, validity=gvalid)))
+        return out
     if spec.func in ("sum", "avg"):
         if T.is_decimal(c.dtype):
             # int128 partial accumulation (reference:
@@ -1077,6 +1116,13 @@ def _finalize_agg(spec: PH.AggSpec, merged: Dict[str, DCol]) -> DCol:
     if spec.func == "approx_distinct":
         c = merged[f"{spec.name}#hll"]
         return DCol(T.BIGINT, PLAIN, HLL.estimate(c.values))
+    if spec.func == "approx_percentile":
+        from ..ops import quantile as Q
+        v = merged[f"{spec.name}#qv"]
+        p = merged[f"{spec.name}#qp"]
+        cn = merged[f"{spec.name}#qn"]
+        est, ok = Q.estimate(v.values, p.values, cn.values, spec.param)
+        return DCol(ot, PLAIN, est, validity=ok)
     if spec.func in PH.VARIANCE_FUNCS:
         s1 = merged[f"{spec.name}#s1"].values
         s2 = merged[f"{spec.name}#s2"].values

@@ -37,7 +37,7 @@ AGG_FUNCS = {"sum", "avg", "count", "min", "max", "stddev", "stddev_samp",
              "bool_or", "approx_distinct", "arbitrary", "any_value",
              "min_by", "max_by", "approx_percentile",
              "corr", "covar_samp", "covar_pop", "regr_slope",
-             "regr_intercept"}
+             "regr_intercept", "array_agg", "map_agg", "histogram"}
 EPOCH = dt.date(1970, 1, 1)
 
 
@@ -640,6 +640,22 @@ class Planner:
             la = sum((a.dtype.length or 64) for a in args
                      if T.is_string(a.dtype))
             return ir.Func(name, args, T.varchar(la))
+        if name in ("regexp_like", "starts_with", "ends_with"):
+            return ir.Func(name, args, T.BOOLEAN)
+        if name in ("regexp_extract", "regexp_replace", "replace", "trim",
+                    "ltrim", "rtrim", "reverse", "split_part", "chr",
+                    "json_extract_scalar", "json_query"):
+            return ir.Func(name, args, T.VARCHAR)
+        if name in ("strpos", "position", "codepoint", "day_of_week",
+                    "dow", "day_of_year", "doy", "quarter", "week",
+                    "date_diff"):
+            return ir.Func(name, args, T.BIGINT)
+        if name == "split":
+            return ir.Func(name, args, T.array(T.VARCHAR))
+        if name == "date_trunc":
+            return ir.Func(name, args, args[1].dtype)
+        if name == "date_add":
+            return ir.Func(name, args, args[2].dtype)
         if name == "cardinality":
             return ir.Func(name, args, T.BIGINT)
         if name == "element_at":
@@ -1176,7 +1192,8 @@ class Planner:
             key = ("approx_distinct", arg, False, None, None)
             node = ast.FuncCall("approx_distinct", node.args, False)
         elif node.name in ("min_by", "max_by", "corr", "covar_samp",
-                           "covar_pop", "regr_slope", "regr_intercept"):
+                           "covar_pop", "regr_slope", "regr_intercept",
+                           "map_agg"):
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
             arg2 = self.resolve(node.args[1], self._cur_scope,
                                 self._cur_outer)

@@ -127,6 +127,54 @@ def test_unnest_zip_pads_shorter_with_null(runner):
     assert d["b"] == [7, 8, None]
 
 
+def test_array_agg(runner):
+    t = runner.run_sql(
+        "select r_regionkey k, array_agg(n_nationkey) a from nation "
+        "join region on n_regionkey = r_regionkey "
+        "group by r_regionkey order by r_regionkey")
+    d = t.to_pydict()
+    assert d["k"] == [0, 1, 2, 3, 4]
+    assert all(len(a) == 5 for a in d["a"])
+    assert sorted(d["a"][0]) == sorted(
+        runner.run_sql("select n_nationkey from nation where n_regionkey=0")
+        .to_pydict()["n_nationkey"])
+
+
+def test_array_agg_global(runner):
+    t = runner.run_sql("select array_agg(r_regionkey) a from region")
+    assert sorted(t.to_pydict()["a"][0]) == [0, 1, 2, 3, 4]
+
+
+def test_map_agg(runner):
+    t = runner.run_sql(
+        "select map_agg(r_regionkey, r_name) m from region")
+    m = t.to_pydict()["m"][0]
+    assert m[0] == "AFRICA" and m[2] == "ASIA" and len(m) == 5
+
+
+def test_histogram(runner):
+    t = runner.run_sql(
+        "select histogram(n_regionkey) h from nation")
+    h = t.to_pydict()["h"][0]
+    assert h == {0: 5, 1: 5, 2: 5, 3: 5, 4: 5}
+
+
+def test_histogram_grouped(runner):
+    t = runner.run_sql(
+        "select o_orderstatus s, histogram(o_orderpriority) h from orders "
+        "group by o_orderstatus order by o_orderstatus")
+    d = t.to_pydict()
+    # cross-check against plain group-by counts
+    ref = runner.run_sql(
+        "select o_orderstatus s, o_orderpriority p, count(*) c from orders "
+        "group by o_orderstatus, o_orderpriority").to_pydict()
+    want = {}
+    for s, p, c in zip(ref["s"], ref["p"], ref["c"]):
+        want.setdefault(s, {})[p] = c
+    got = dict(zip(d["s"], d["h"]))
+    assert got == want
+
+
 def test_array_in_where(runner):
     t = runner.run_sql(
         "select count(*) c from region where contains(array[1,3], "

@@ -194,3 +194,64 @@ def test_moment_aggs_distribute_partial_final():
                            dist[col].values.astype(float), rtol=1e-9), col
     assert loc.ba.tolist() == dist.ba.tolist()
     assert loc.bo.tolist() == dist.bo.tolist()
+
+
+class TestScalarBreadth:
+    """Round-3 scalar-function family additions (reference:
+    StringFunctions/JoniRegexpFunctions/DateTimeFunctions/JsonFunctions)."""
+
+    def test_regex_like_extract_replace(self, runner):
+        d = runner.run_sql(
+            "select count(*) c from region where "
+            "regexp_like(r_name, '^A.*A$')").to_pydict()
+        assert d["c"][0] == 3  # AFRICA, AMERICA, ASIA
+        d = runner.run_sql(
+            "select regexp_extract(r_name, '([A-Z]+)PE', 1) x from region "
+            "where r_regionkey = 3").to_pydict()
+        assert d["x"] == ["EURO"]
+        d = runner.run_sql(
+            "select regexp_replace(r_name, 'A', 'x') x from region "
+            "order by r_regionkey limit 1").to_pydict()
+        assert d["x"] == ["xFRICx"]
+
+    def test_string_helpers(self, runner):
+        d = runner.run_sql(
+            "select replace(r_name, 'AFRICA', 'AF') x, reverse(r_name) y, "
+            "strpos(r_name, 'FR') p, starts_with(r_name, 'AF') sw "
+            "from region where r_regionkey = 0").to_pydict()
+        assert d["x"] == ["AF"] and d["y"] == ["ACIRFA"]
+        assert d["p"] == [2] and d["sw"] == [True]
+
+    def test_split_and_split_part(self, runner):
+        d = runner.run_sql(
+            "select split_part(o_orderpriority, '-', 2) x, "
+            "split(o_orderpriority, '-') a from orders "
+            "where o_orderkey = 1").to_pydict()
+        assert len(d["x"]) == 1
+        assert d["a"][0][1] == d["x"][0]  # 2nd split part == split_part(2)
+
+    def test_date_functions(self, runner):
+        d = runner.run_sql(
+            "select day_of_week(date '2026-08-20') dw, "
+            "day_of_year(date '2026-03-01') dy, "
+            "quarter(date '2026-08-20') q, "
+            "week(date '2026-01-01') w, "
+            "date_trunc('month', date '2026-08-20') tm, "
+            "date_add('month', 1, date '2026-01-31') am, "
+            "date_diff('day', date '2026-01-01', date '2026-08-20') dd "
+            "from region limit 1").to_pydict()
+        assert d["dw"][0] == 4          # Thursday
+        assert d["dy"][0] == 60         # 2026 not a leap year
+        assert d["q"][0] == 3
+        assert d["w"][0] == 1
+        import datetime as dt
+        epoch = dt.date(1970, 1, 1)
+        assert d["tm"][0] == (dt.date(2026, 8, 1) - epoch).days
+        assert d["am"][0] == (dt.date(2026, 2, 28) - epoch).days
+        assert d["dd"][0] == 231
+
+    def test_json_extract_scalar(self, runner):
+        t = runner.run_sql(
+            "select json_extract_scalar('{\"a\": {\"b\": [1, 2]}}', "
+            "'$.a.b[1]') x from region limit 1")
+        assert t.to_pydict()["x"] == ["2"]

@@ -17,29 +17,18 @@ def test_masked_sum():
     assert got == int(v[m].sum())
 
 
-def test_hash_probe_matches_xla_path():
+def test_sorted_probe_lower_bound():
+    """The VMEM binary-search kernel returns numpy-searchsorted positions
+    (including negative keys: signed-hi/unsigned-lo word comparison)."""
     rng = np.random.default_rng(1)
-    build = rng.choice(10**6, size=500, replace=False).astype(np.int64)
+    skeys = np.sort(rng.integers(-10**12, 10**12, size=500).astype(np.int64))
     probe = np.concatenate([
-        rng.choice(build, 300), rng.integers(10**6, 2 * 10**6, 200)
+        rng.choice(skeys, 300), rng.integers(-2 * 10**12, 2 * 10**12, 200)
     ]).astype(np.int64)
-    cap = HT.capacity_for(len(build))  # power of two ≥ 2×rows
-    owner, slot_of_row, _ = HT.insert([jnp.asarray(build)],
-                                      jnp.ones(len(build), bool), cap)
-    # per-slot key array for the VMEM kernel
-    owner_np = np.asarray(owner)
-    slot_keys = np.zeros(cap, np.int64)
-    filled = owner_np != (2**31 - 1)
-    slot_keys[filled] = build[owner_np[filled]]
-    h = (np.asarray(hash_keys([jnp.asarray(probe)])) & (cap - 1)).astype(np.int32)
-    got = np.asarray(PK.hash_probe(
-        owner, jnp.asarray(slot_keys), jnp.asarray(probe), jnp.asarray(h),
-        interpret=True))
-    # contract: returns the SLOT of the key (hashtable.lookup semantics)
-    slot_np = np.asarray(slot_of_row)
-    build_slot = {int(k): int(slot_np[i]) for i, k in enumerate(build)}
-    for p, g in zip(probe, got):
-        assert g == build_slot.get(int(p), -1), (p, g)
+    got = np.asarray(PK.sorted_probe(
+        jnp.asarray(skeys), jnp.asarray(probe), len(skeys), interpret=True))
+    want = np.searchsorted(skeys, probe, side="left")
+    np.testing.assert_array_equal(got, want)
 
 
 @pytest.fixture
@@ -52,17 +41,17 @@ def pallas_interpret():
 def test_lookup_dispatches_to_pallas(pallas_interpret):
     """hashtable.lookup dispatches to the VMEM kernel when the tier is on
     (single int key, table within VMEM budget) and agrees with the XLA
-    fixpoint path."""
+    binary-search path."""
     rng = np.random.default_rng(2)
     build = jnp.asarray(rng.choice(10**5, size=700, replace=False)
                         .astype(np.int64))
     probe = jnp.asarray(rng.integers(0, 10**5, size=3000).astype(np.int64))
     mask = jnp.asarray(rng.random(3000) < 0.9)
     cap = HT.capacity_for(700)
-    owner, _, _ = HT.insert([build], jnp.ones(700, bool), cap)
-    got = np.asarray(HT.lookup(owner, [build], [probe], mask))
+    table = HT.build([build], jnp.ones(700, bool), cap)
+    got = np.asarray(HT.lookup(table, [probe], mask))
     PK.configure("off")
-    want = np.asarray(HT.lookup(owner, [build], [probe], mask))
+    want = np.asarray(HT.lookup(table, [probe], mask))
     np.testing.assert_array_equal(got, want)
 
 
