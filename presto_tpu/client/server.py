@@ -104,6 +104,19 @@ class StatementServer:
 
             def do_GET(self):
                 parts = self.path.strip("/").split("/")
+                if self.path.rstrip("/") in ("", "/ui"):
+                    # Web UI (the reference's query overview page,
+                    # ``core/trino-web-ui``): server-rendered — query
+                    # list + states + timings over the same JSON the
+                    # protocol exposes
+                    body = server._ui_html().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if parts[:2] == ["v1", "info"]:
                     return self._send({"nodeVersion": {"version": "presto-tpu"},
                                        "coordinator": True,
@@ -198,6 +211,39 @@ class StatementServer:
                 q.error_code = classify(e)
         q.elapsed_s = time.time() - t0
         return q
+
+    def _ui_html(self) -> str:
+        import html as _h
+        rows = []
+        for q in sorted(self._queries.values(), key=lambda x: x.created,
+                        reverse=True):
+            color = {"FINISHED": "#2e7d32", "FAILED": "#c62828"}.get(
+                q.state, "#f9a825")
+            err = f"<div class=err>{_h.escape(q.error)}</div>" if q.error \
+                else ""
+            rows.append(
+                f"<tr><td>{q.id}</td>"
+                f"<td><span style='color:{color}'>{q.state}</span></td>"
+                f"<td>{q.elapsed_s * 1000:.0f} ms</td>"
+                f"<td>{len(q.rows)}</td>"
+                f"<td>{q.peak_memory_bytes // 1024} KiB</td>"
+                f"<td><code>{_h.escape(q.sql[:200])}</code>{err}</td></tr>")
+        rg = ""
+        if self.resource_groups is not None:
+            items = "".join(
+                f"<li>{_h.escape(str(g))}</li>"
+                for g in self.resource_groups.info())
+            rg = f"<h2>Resource groups</h2><ul>{items}</ul>"
+        return (
+            "<!doctype html><html><head><title>presto_tpu</title><style>"
+            "body{font-family:monospace;margin:2em}table{border-collapse:"
+            "collapse}td,th{border:1px solid #ccc;padding:4px 8px;"
+            "text-align:left}.err{color:#c62828;font-size:smaller}"
+            "</style></head><body><h1>presto_tpu coordinator</h1>"
+            f"<p>{len(self._queries)} queries this session</p>"
+            "<table><tr><th>query</th><th>state</th><th>elapsed</th>"
+            "<th>rows</th><th>peak mem</th><th>sql</th></tr>"
+            + "".join(rows) + "</table>" + rg + "</body></html>")
 
     def _results(self, q: _QueryResult, token: int, data: bool) -> dict:
         done = q.state in ("FINISHED", "FAILED")

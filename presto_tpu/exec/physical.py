@@ -1166,7 +1166,12 @@ def _exec_agg_partitioned(plan: PhysHashAggregate, child: Chunk,
 def _agg_core(plan: PhysHashAggregate, child: Chunk,
               ctx: ExecContext) -> Chunk:
     group_exprs = tuple(e for _, e in plan.groups)
-    capacity = max(64, HT.capacity_for(plan.ndv_hint))
+    # group count can't exceed the ACTUAL row count — a host read here
+    # (op path, stage boundary) keeps every [capacity]-shaped kernel
+    # proportional to the data, not to the planner's ndv guess (Q3: the
+    # hint says 2.4M groups, the filtered join feeds 30k rows)
+    live = int(jnp.sum(child.mask))
+    capacity = max(64, HT.capacity_for(min(plan.ndv_hint, live + 1)))
     while True:
         owner, slot, overflow = _insert_kernel(child, group_exprs, capacity)
         if not bool(overflow):
@@ -1331,6 +1336,10 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
         h = hash_keys(_key_arrays(chunk, (spec.arg,)))
         regs = HLL.group_state(h, slot, vmask, capacity)
         return DCol(T.BIGINT, PLAIN, HLL.estimate(regs), validity=gvalid)
+    if spec.func == "sum0":
+        # COUNT-carrying sum: groups with no valid inputs read 0, not NULL
+        s = A.seg_sum(vals, slot, vmask, capacity, jnp.int64)
+        return DCol(T.BIGINT, PLAIN, s, validity=gvalid)
     if spec.func == "sum":
         nonempty = A.seg_count(slot, vmask, capacity) > 0
         if T.is_long_decimal(ot):
@@ -1481,6 +1490,10 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
                 continue
             if spec.func == "count":
                 out[spec.name] = DCol(T.BIGINT, PLAIN, A.g_count(m)[None])
+            elif spec.func == "sum0":
+                # COUNT-carrying sum: empty input → 0, never NULL
+                v = A.g_sum(c.values, m, jnp.int64)[None]
+                out[spec.name] = DCol(T.BIGINT, PLAIN, v)
             elif spec.func == "sum":
                 if T.is_long_decimal(ot):
                     v = I128.pack(*_g_sum128(c.values, m))[None]

@@ -620,8 +620,13 @@ def _try_chain_walk_join_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
                                 (jnp.int32(0), init))
 
     matched = acc["#matches"] > 0
-    # probe-row mask: inner join drops unmatched rows; left join keeps them
-    row_mask = probe.mask & (matched if join.kind == "inner" else True)
+    # probe-row mask: inner join drops unmatched rows (they must not form
+    # groups); left join keeps them.  GLOBAL aggregation keeps every probe
+    # row instead — count partials are 0 for unmatched rows and the other
+    # states carry validity=matched, so an empty join still yields
+    # count=0 (not NULL) while sum/min/max stay NULL per SQL.
+    drop_unmatched = join.kind == "inner" and bool(plan.groups)
+    row_mask = probe.mask & (matched if drop_unmatched else True)
     partial_cols = dict(probe.cols)
     new_specs = []
     for spec in plan.aggs:
@@ -630,7 +635,7 @@ def _try_chain_walk_join_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
             # unmatched probe row contributes one (null) joined row
             vals = jnp.where(matched, acc[spec.name], 1)
             partial_cols[pname] = DCol(T.BIGINT, PLAIN, vals)
-            new_specs.append(PH.AggSpec(spec.name, "sum",
+            new_specs.append(PH.AggSpec(spec.name, "sum0",
                                         ir.ColumnRef(pname, T.BIGINT)))
             continue
         ot = PH._agg_output_type(spec)
@@ -638,7 +643,9 @@ def _try_chain_walk_join_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
         partial_cols[pname] = DCol(
             ot if spec.func != "count" else T.BIGINT, PLAIN,
             acc[spec.name], validity=validity)
-        outer_func = {"count": "sum", "count_star": "sum",
+        # count partials re-aggregate as sum0: a sum that finalizes to 0
+        # (not NULL) over an empty input, preserving COUNT semantics
+        outer_func = {"count": "sum0", "count_star": "sum0",
                       "sum": "sum", "min": "min", "max": "max"}[spec.func]
         new_specs.append(PH.AggSpec(spec.name, outer_func,
                                     ir.ColumnRef(pname, ot)))
@@ -910,8 +917,9 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
     # again).
     nd = jax.lax.axis_size("d")
     pmult = ctx.site_mult(key_node, "partial")
+    opt = max(1 << 12, child.n_rows >> 4)  # optimistic; retry regrows
     capacity = min(max(64, HT.capacity_for(min(plan.ndv_hint,
-                                               child.n_rows))) * pmult,
+                                               opt))) * pmult,
                    ctx.agg_cap_limit * pmult,
                    HT.next_pow2(2 * child.n_rows))
 
@@ -949,8 +957,12 @@ def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk,
         return PH._exec_global_agg(plan, child)
     key_node = key_node if key_node is not None else plan
     mult = ctx.site_mult(key_node, "cap") if ctx is not None else 1
-    capacity = max(64, HT.capacity_for(min(plan.ndv_hint * 2 * mult,
-                                           2 * child.n_rows)))
+    # optimistic capacity: traced programs can't read the live row count,
+    # so assume filters/joins thinned the input (≥16×) and let the
+    # overflow retry (mult ×8) regrow when a query really is group-dense
+    opt = max(1 << 12, child.n_rows >> 4)
+    capacity = max(64, HT.capacity_for(min(plan.ndv_hint * 2, opt) * mult))
+    capacity = min(capacity, HT.next_pow2(2 * child.n_rows))
     group_exprs = tuple(e for _, e in plan.groups)
     owner, slot, ovf = PH._insert_kernel(child, group_exprs, capacity)
     if ctx is not None:
@@ -1025,6 +1037,11 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
                     DCol(T.BIGINT, PLAIN, qp, validity=gvalid)))
         out.append((f"{spec.name}#qn", "qsample_aux",
                     DCol(T.BIGINT, PLAIN, qc, validity=gvalid)))
+        return out
+    if spec.func == "sum0":
+        s = A.seg_sum(c.values, slot, vmask, capacity, jnp.int64)
+        out.append((f"{spec.name}#sum", "sum",
+                    DCol(T.BIGINT, PLAIN, s, validity=gvalid)))
         return out
     if spec.func in ("sum", "avg"):
         if T.is_decimal(c.dtype):
@@ -1146,6 +1163,9 @@ def _finalize_agg(spec: PH.AggSpec, merged: Dict[str, DCol]) -> DCol:
         cnt = merged[f"{spec.name}#cnt"].values
         return DCol(T.BOOLEAN, PLAIN, b.values.astype(jnp.bool_),
                     validity=cnt > 0)
+    if spec.func == "sum0":
+        c = merged[f"{spec.name}#sum"]
+        return DCol(T.BIGINT, PLAIN, c.values)
     if spec.func == "sum":
         c = merged[f"{spec.name}#sum"]
         return DCol(ot, PLAIN, c.values, validity=c.validity)
@@ -1196,7 +1216,7 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
             v = HLL.estimate(jnp.max(c.values, axis=0))[None]
         elif spec.func == "sum" and c.values.ndim == 2:
             v = I128.pack(*I128.g_sum128_from_i128(c.values, m))[None]
-        elif spec.func in ("count", "count_star", "sum"):
+        elif spec.func in ("count", "count_star", "sum", "sum0"):
             v = A.g_sum(c.values, m, c.values.dtype)[None]
         elif spec.func == "min":
             v = (I128.pack(*I128.g_min128(c.values, m))
@@ -1206,9 +1226,10 @@ def _traced_global_agg(plan: PH.PhysHashAggregate, child: Chunk) -> Chunk:
                  if c.values.ndim == 2 else A.g_max(c.values, m))[None]
         elif spec.func == "avg":
             continue  # handled below from partial sum/count
+        always = spec.func in ("count", "count_star", "sum0", "hll_state")
         out[spec.name] = DCol(T.BIGINT if spec.func == "hll_state"
                               else c.dtype, PLAIN, v,
-                              validity=m.any()[None])
+                              validity=None if always else m.any()[None])
     for spec in hll_specs:
         out[spec.name] = out.pop(f"{spec.name}#hll")
     for spec in avg_specs:

@@ -1,0 +1,68 @@
+"""TPC-DS query texts (the subset runnable on the shipped column set).
+
+Adapted from the public TPC-DS specification queries (same shapes the
+reference ships in ``plugin/trino-tpcds``); queries whose tables/columns
+are outside the generated subset are not included yet.
+"""
+
+QUERIES = {
+    3: """
+select d_year, i_brand_id, i_brand, sum(ss_ext_sales_price) sum_agg
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk and ss_item_sk = i_item_sk
+  and i_manufact_id = 128 and d_moy = 11
+group by d_year, i_brand_id, i_brand
+order by d_year, sum_agg desc, i_brand_id
+limit 100
+""",
+    7: """
+select i_item_id, avg(ss_quantity) agg1, avg(ss_list_price) agg2,
+       avg(ss_coupon_amt) agg3, avg(ss_sales_price) agg4
+from store_sales, customer_demographics, date_dim, item, promotion
+where ss_sold_date_sk = d_date_sk and ss_item_sk = i_item_sk
+  and ss_cdemo_sk = cd_demo_sk and ss_promo_sk = p_promo_sk
+  and cd_gender = 'M' and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and (p_channel_email = 'N' or p_channel_tv = 'N') and d_year = 2000
+group by i_item_id
+order by i_item_id
+limit 100
+""",
+    42: """
+select d_year, i_category_id, i_category, sum(ss_ext_sales_price) s
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk and ss_item_sk = i_item_sk
+  and i_manager_id = 1 and d_moy = 11 and d_year = 2000
+group by d_year, i_category_id, i_category
+order by s desc, d_year, i_category_id, i_category
+limit 100
+""",
+    52: """
+select d_year, i_brand_id brand_id, i_brand brand,
+       sum(ss_ext_sales_price) ext_price
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk and ss_item_sk = i_item_sk
+  and i_manager_id = 1 and d_moy = 11 and d_year = 2000
+group by d_year, i_brand_id, i_brand
+order by d_year, ext_price desc, brand_id
+limit 100
+""",
+    55: """
+select i_brand_id brand_id, i_brand brand,
+       sum(ss_ext_sales_price) ext_price
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk and ss_item_sk = i_item_sk
+  and i_manager_id = 28 and d_moy = 11 and d_year = 1999
+group by i_brand_id, i_brand
+order by ext_price desc, brand_id
+limit 100
+""",
+    96: """
+select count(*) cnt
+from store_sales, household_demographics, time_dim, store
+where ss_sold_time_sk = t_time_sk and ss_hdemo_sk = hd_demo_sk
+  and ss_store_sk = s_store_sk
+  and t_hour = 20 and t_minute >= 30 and hd_dep_count = 7
+  and s_store_name = 'ese'
+""",
+}

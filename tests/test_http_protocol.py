@@ -133,3 +133,14 @@ def test_resource_groups_over_http():
         assert info[0]["name"] == "g" and info[0]["admitted"] == 1
     finally:
         srv.close()
+
+
+def test_web_ui(server):
+    """/ui renders the query overview page (core/trino-web-ui role)."""
+    import urllib.request
+    from presto_tpu.client.server import HttpClient
+    HttpClient(server.url).execute("select count(*) c from region")
+    with urllib.request.urlopen(server.url + "/ui") as resp:
+        body = resp.read().decode()
+    assert "presto_tpu coordinator" in body
+    assert "FINISHED" in body and "count(*)" in body
