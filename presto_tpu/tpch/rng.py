@@ -62,6 +62,11 @@ class Stream:
     def values(self, n_rows: int, use_index: int = 1, first_row: int = 0) -> np.ndarray:
         """Stream value for draw #use_index (1-based) of each row."""
         assert 1 <= use_index <= self.uses_per_row
+        from .. import native
+        nv = native.lcg_values(self.seed, self.uses_per_row, use_index,
+                               first_row, n_rows)
+        if nv is not None:
+            return nv
         base = (self.seed * _pow_mod(MULTIPLIER, first_row * self.uses_per_row + use_index)) % MODULUS
         jump = _pow_mod(MULTIPLIER, self.uses_per_row)
         # seeds_i = base * jump^i mod M for i in [0, n_rows)
@@ -70,6 +75,11 @@ class Stream:
 
     def all_values(self, n_rows: int, first_row: int = 0) -> np.ndarray:
         """[n_rows, uses_per_row] matrix of all draws per row."""
+        from .. import native
+        nv = native.lcg_matrix(self.seed, self.uses_per_row, first_row,
+                               n_rows)
+        if nv is not None:
+            return nv
         cols = [self.values(n_rows, u, first_row) for u in range(1, self.uses_per_row + 1)]
         return np.stack(cols, axis=1)
 

@@ -111,6 +111,11 @@ def substrings(offsets: np.ndarray, lengths: np.ndarray, max_len: int,
     if pool is None:
         pool = get_pool()
     offsets = offsets % (len(pool) - max_len)
+    from .. import native
+    nv = native.gather_substrings(pool, offsets.astype(np.int64),
+                                  lengths.astype(np.int64), max_len)
+    if nv is not None:
+        return nv, lengths.astype(np.int32)
     idx = offsets[:, None] + np.arange(max_len, dtype=np.int64)[None, :]
     vals = pool[idx]
     mask = np.arange(max_len)[None, :] < lengths[:, None]
