@@ -25,9 +25,14 @@ import subprocess
 import sys
 
 BASELINE_ROWS_PER_S = 50e6
-SF = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+SF = float(sys.argv[1]) if len(sys.argv) > 1 else None
 RUNS = 20
 DEVICE_TIMEOUT_S = 900
+# measurement ladder when no SF is forced: big-scale on device first
+# (fixed tunnel costs amortize 10×), then SF1 device, then CPU —
+# whichever first completes inside its budget wins (the tunnel wedges
+# intermittently; the driver must always get a JSON line)
+LADDER = [(None, 10.0, 1500), (None, 1.0, 900), ("cpu", 1.0, 900)]
 
 
 def _measure(platform=None):
@@ -46,7 +51,8 @@ def _measure(platform=None):
     from presto_tpu.exec.runner import LocalRunner
     from presto_tpu.tpch.queries import QUERIES
 
-    runner = LocalRunner(scale_factor=SF)
+    sf = float(os.environ.get("_PRESTO_BENCH_SF", SF or 1.0))
+    runner = LocalRunner(scale_factor=sf)
     n = 0
     times = {}
     for qid in (1, 6):
@@ -59,13 +65,13 @@ def _measure(platform=None):
         times[qid] = float(np.median(samples))
         del out
     from presto_tpu.tpch import generator
-    units = generator.total_unit_rows("lineitem", SF)
-    n = generator.slice_row_count("lineitem", SF, 0, units)  # real rows
+    units = generator.total_unit_rows("lineitem", sf)
+    n = generator.slice_row_count("lineitem", sf, 0, units)  # real rows
     rows_per_s = 2 * n / (times[1] + times[6])
     dev = str(jax.devices()[0])
     plat_note = "" if "TPU" in dev.upper() else f" [{dev}]"
     print(json.dumps({
-        "metric": (f"TPC-H Q1+Q6 SF{SF:g} SQL fused-path throughput "
+        "metric": (f"TPC-H Q1+Q6 SF{sf:g} SQL fused-path throughput "
                    f"per chip{plat_note}"),
         "value": round(rows_per_s / 1e6, 1),
         "unit": "Mrows/s",
@@ -77,29 +83,25 @@ def main():
     if os.environ.get("_PRESTO_BENCH_CHILD"):
         _measure(os.environ.get("_PRESTO_BENCH_PLATFORM") or None)
         return
-    env = dict(os.environ, _PRESTO_BENCH_CHILD="1")
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
-            env=env, timeout=DEVICE_TIMEOUT_S, capture_output=True, text=True)
+    ladder = [(None, SF, DEVICE_TIMEOUT_S),
+              ("cpu", SF, DEVICE_TIMEOUT_S)] if SF is not None else LADDER
+    for platform, sf, budget in ladder:
+        env = dict(os.environ, _PRESTO_BENCH_CHILD="1",
+                   _PRESTO_BENCH_SF=str(sf))
+        if platform:
+            env["_PRESTO_BENCH_PLATFORM"] = platform
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=budget, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            continue
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if line:
             print(line[-1])
             return
-    except subprocess.TimeoutExpired:
-        pass
-    # device path wedged or failed → measured CPU fallback (honest label)
-    env["_PRESTO_BENCH_PLATFORM"] = "cpu"
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
-        env=env, timeout=DEVICE_TIMEOUT_S, capture_output=True, text=True)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if line:
-        print(line[-1])
-    else:
-        print(json.dumps({"metric": "bench failed", "value": 0,
-                          "unit": "Mrows/s", "vs_baseline": 0}))
-        sys.stderr.write(out.stderr[-2000:])
+    print(json.dumps({"metric": "bench failed", "value": 0,
+                      "unit": "Mrows/s", "vs_baseline": 0}))
 
 
 if __name__ == "__main__":
