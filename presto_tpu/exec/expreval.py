@@ -603,7 +603,8 @@ def _eval_date_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
     the VPU, no per-row code."""
     name = expr.name
     if name not in ("day_of_week", "dow", "day_of_year", "doy", "quarter",
-                    "week", "date_trunc", "date_add", "date_diff"):
+                    "week", "date_trunc", "date_add", "date_diff",
+                    "date_format", "format_datetime"):
         return None
     if name in ("date_trunc", "date_add", "date_diff"):
         unit = _lit_str(expr.args[0]).lower()
@@ -634,6 +635,43 @@ def _eval_date_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
         return DCol(T.BIGINT, PLAIN,
                     ((thursday - jan1) // 7 + 1).astype(jnp.int64),
                     validity=a.validity)
+    if name in ("date_format", "format_datetime"):
+        # per-row formatting has bounded cardinality (≤ ndv of the date
+        # column): build a dictionary over the UNIQUE values on the host
+        # (eager op path; traced programs fall back via NotImplementedError)
+        import datetime as _dt
+        import jax.core as _jc
+        a = args[0]
+        fmt = _lit_str(expr.args[1])
+        if name == "date_format":      # MySQL specifiers (Trino semantics)
+            for sql_c, py_c in (("%Y", "%Y"), ("%y", "%y"), ("%m", "%m"),
+                                ("%d", "%d"), ("%H", "%H"), ("%i", "%M"),
+                                ("%s", "%S"), ("%W", "%A"), ("%a", "%a"),
+                                ("%M", "%B"), ("%j", "%j")):
+                fmt = fmt.replace(sql_c, py_c)
+        else:                           # Joda-ish → strftime (common subset)
+            for jd, py_c in (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+                             ("HH", "%H"), ("mm", "%M"), ("ss", "%S")):
+                fmt = fmt.replace(jd, py_c)
+        if isinstance(a.values, _jc.Tracer):
+            raise NotImplementedError(
+                "date_format inside a fused program (runs on the "
+                "op-at-a-time path)")
+        vals = np.asarray(a.values)
+        if isinstance(a.dtype, T.TimestampType):
+            uniq, codes = np.unique(vals, return_inverse=True)
+            strs = [( _dt.datetime(1970, 1, 1)
+                      + _dt.timedelta(microseconds=int(u))).strftime(fmt)
+                    for u in uniq]
+        else:
+            uniq, codes = np.unique(vals, return_inverse=True)
+            strs = [(_dt.date(1970, 1, 1)
+                     + _dt.timedelta(days=int(u))).strftime(fmt)
+                    for u in uniq]
+        from .columns import Dictionary
+        return DCol(T.VARCHAR, DICT, jnp.asarray(codes.astype(np.int32)),
+                    validity=a.validity,
+                    dictionary=Dictionary(np.array(strs, dtype=object)))
     if name == "date_trunc":
         a = args[1]
         if isinstance(a.dtype, T.TimestampType):
@@ -1015,6 +1053,17 @@ def _arith_i128(expr: ir.Arith, l: DCol, r: DCol, valid, rs: int) -> DCol:
 
 
 def _compare(expr: ir.Compare, chunk: Chunk) -> DCol:
+    if isinstance(expr.left, ir.Literal) and isinstance(expr.right,
+                                                       ir.Literal) \
+            and T.is_string(expr.left.dtype) \
+            and expr.left.value is not None \
+            and expr.right.value is not None:
+        # fold literal-vs-literal string compares at trace time: XLA's
+        # constant folder otherwise evaluates the broadcast [N, W] byte
+        # compare element-by-element (~30 s per compile at 6M rows)
+        v = _cmp_str(expr.op, expr.left.value, expr.right.value)
+        return DCol(T.BOOLEAN, PLAIN,
+                    jnp.full((chunk.n_rows,), bool(v), jnp.bool_))
     l = eval_expr(expr.left, chunk)
     r = eval_expr(expr.right, chunk)
     valid = _and_validity(l.validity, r.validity)

@@ -120,6 +120,10 @@ class PhysHashJoin(PhysOp):
     filter: Optional[ir.Expr] = None  # non-equi residual over probe+payload
     build_est: float = -1.0         # planner's build-side row estimate (CBO)
     probe_est: float = -1.0         # planner's probe-side row estimate
+    # static BUFFER bound of the build subtree (filters only mask rows in
+    # traced programs, so broadcast memory follows the unfiltered scan
+    # cardinality, not the selectivity-discounted estimate)
+    build_cap_est: float = -1.0
     # distribution (reference: JoinNode.DistributionType, set by the
     # add_exchanges pass — sql/planner/distribution.py):
     dist_type: str = "replicated"   # replicated | partitioned

@@ -108,6 +108,11 @@ class Rel:
     columns: Set[str]
     unique_keys: List[frozenset] = dfield(default_factory=list)
     est: float = 1e6
+    # unfiltered cardinality of the relation (scan rows); 0 = unknown.
+    # est/base is the retained fraction — a PK–FK join keeps that
+    # fraction of probe rows (the CBO's join-selectivity estimate,
+    # reference: ``cost/JoinStatsRule``)
+    base: float = 0.0
 
 
 # ---------------------------------------------------------------- planner
@@ -272,7 +277,7 @@ class Planner:
                           alias_prefix=prefix)
         uk = [frozenset(prefix + k for k in SCH.PRIMARY_KEYS[name])]
         est = SCH.CATALOG.row_count(SCH.TableHandle(name, self.sf))
-        return Rel(plan, scope, cols, uk, est)
+        return Rel(plan, scope, cols, uk, est, base=est)
 
     def _plan_unnest(self, r: "ast.UnnestRef", base: Rel) -> Rel:
         """CROSS JOIN UNNEST(...) over the preceding relation (reference:
@@ -652,6 +657,8 @@ class Planner:
             return ir.Func(name, args, T.BIGINT)
         if name == "split":
             return ir.Func(name, args, T.array(T.VARCHAR))
+        if name in ("date_format", "format_datetime"):
+            return ir.Func(name, args, T.VARCHAR)
         if name == "date_trunc":
             return ir.Func(name, args, args[1].dtype)
         if name == "date_add":
@@ -1307,7 +1314,7 @@ class Planner:
         conjuncts = conjuncts + extra
 
         comps = [Rel(r.plan, r.scope, set(r.columns), list(r.unique_keys),
-                     r.est) for r in rels]
+                     r.est, base=r.base) for r in rels]
         pending: List[ir.Expr] = []
 
         # single-rel pushdown
@@ -1404,14 +1411,20 @@ class Planner:
             plan = P.PhysHashJoin(
                 probe.plan, build.plan, tuple(pk), tuple(bk),
                 kind="inner", unique_build=unique, build_payload=payload,
-                build_est=build.est, probe_est=probe.est)
-            est = probe.est if unique else probe.est * 4
+                build_est=build.est, probe_est=probe.est,
+                build_cap_est=max(build.base, build.est))
+            # PK–FK joins retain the build side's surviving key fraction
+            # of probe rows (JoinStatsRule-style selectivity)
+            frac = 1.0
+            if unique and build.base > 0:
+                frac = min(1.0, build.est / build.base)
+            est = max(probe.est * frac if unique else probe.est * 4, 16.0)
             merged = Rel(plan, probe.scope.merged(build.scope),
                          probe.columns | build.columns,
                          probe.unique_keys if unique else [
                              pu | bu for pu in probe.unique_keys
                              for bu in build.unique_keys],
-                         est)
+                         est, base=probe.base)
             # drop used equi conjuncts, apply now-complete filters
             used = set()
             for l, r in keys:
@@ -1510,7 +1523,8 @@ class Planner:
             cur.plan, rplan, tuple(equi_l), tuple(equi_r), kind="left",
             unique_build=unique, build_payload=payload,
             filter=ir.and_(*residual) if residual else None,
-            build_est=right.est, probe_est=cur.est)
+            build_est=right.est, probe_est=cur.est,
+            build_cap_est=max(right.base, right.est))
         return Rel(plan, scope, cur.columns | right.columns,
                    [], cur.est * (1 if unique else 4))
 
@@ -1587,7 +1601,8 @@ class Planner:
             cur.plan, sub.plan, (arg,),
             (ir.ColumnRef(out_name, dtype),),
             kind="anti" if negated else "semi", unique_build=False,
-            build_est=sub.est, probe_est=cur.est)
+            build_est=sub.est, probe_est=cur.est,
+            build_cap_est=max(sub.base, sub.est))
         return Rel(plan, cur.scope, cur.columns, cur.unique_keys, cur.est)
 
     def _apply_scalar_compare(self, cur: Rel, other: ast.Node, op: str,

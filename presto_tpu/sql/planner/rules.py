@@ -309,7 +309,8 @@ class FlipJoinToSmallerBuild(Rule):
             probe_keys=node.build_keys, build_keys=node.probe_keys,
             unique_build=False,
             build_payload=tuple((c, c) for c in sorted(pcols)),
-            build_est=node.probe_est, probe_est=node.build_est)
+            build_est=node.probe_est, probe_est=node.build_est,
+            build_cap_est=-1.0)
 
 
 def _constant_keys(keys) -> bool:
@@ -325,10 +326,14 @@ class DetermineJoinDistributionType(Rule):
 
     def __init__(self, broadcast_row_limit: float):
         self.broadcast_row_limit = broadcast_row_limit
+        # memory follows the build's static BUFFER bound (build_cap_est —
+        # filters only mask rows inside traced programs), falling back to
+        # the row estimate when the planner didn't stamp one
         self.pattern = Pattern(
             P.PhysHashJoin,
             lambda n: (n.dist_type != "partitioned"
-                       and n.build_est > self.broadcast_row_limit
+                       and max(n.build_cap_est, n.build_est)
+                       > self.broadcast_row_limit
                        and not _constant_keys(n.build_keys)))
 
     def apply(self, node):

@@ -116,7 +116,10 @@ def generate(table: str, sf: float) -> Table:
         cls = _pick(ids, 13, _CLASSES)
         cols["i_class_id"] = Column(T.BIGINT, cls.astype(np.int64) + 1)
         cols["i_class"] = dict_column(T.varchar(50), cls, _CLASSES)
-        cols["i_manufact_id"] = Column(T.BIGINT, _uni(ids, 14, 1, 1000))
+        man = _uni(ids, 14, 1, 1000)
+        cols["i_manufact_id"] = Column(T.BIGINT, man)
+        cols["i_manufact"] = bytes_column(
+            T.varchar(50), [f"manufact#{m}" for m in man])
         cols["i_manager_id"] = Column(T.BIGINT, _uni(ids, 15, 1, 100))
         dec("i_current_price", 16, 99, 9999)
     elif table == "store":
@@ -135,6 +138,8 @@ def generate(table: str, sf: float) -> Table:
             ["Midway", "Fairview", "Oakland", "Salem"])
         cols["s_state"] = dict_column(T.varchar(2), _pick(ids, 24, _STATES),
                                       _STATES)
+        cols["s_zip"] = bytes_column(
+            T.varchar(10), [f"{z:05d}" for z in _uni(ids, 25, 10000, 99999)])
         cols["s_gmt_offset"] = Column(
             T.decimal(5, 2), np.full(n, -500, np.int64), None, PLAIN)
     elif table == "promotion":
@@ -157,6 +162,23 @@ def generate(table: str, sf: float) -> Table:
         cols["hd_demo_sk"] = Column(T.BIGINT, 1 + np.arange(n))
         cols["hd_dep_count"] = Column(T.BIGINT, _uni(ids, 41, 0, 9))
         cols["hd_vehicle_count"] = Column(T.BIGINT, _uni(ids, 42, -1, 4))
+    elif table == "customer":
+        cols["c_customer_sk"] = Column(T.BIGINT, 1 + np.arange(n))
+        cols["c_customer_id"] = bytes_column(
+            T.varchar(16), [f"AAAAAAAA{k:08d}" for k in range(n)])
+        cols["c_current_addr_sk"] = Column(
+            T.BIGINT, _uni(ids, 71, 1, S.row_count("customer_address", sf)))
+        cols["c_birth_year"] = Column(T.BIGINT, _uni(ids, 72, 1924, 1992))
+    elif table == "customer_address":
+        cols["ca_address_sk"] = Column(T.BIGINT, 1 + np.arange(n))
+        cols["ca_zip"] = bytes_column(
+            T.varchar(10), [f"{z:05d}" for z in _uni(ids, 81, 10000, 99999)])
+        cols["ca_state"] = dict_column(T.varchar(2), _pick(ids, 82, _STATES),
+                                       _STATES)
+        cols["ca_city"] = dict_column(
+            T.varchar(60), _pick(ids, 83, ["Midway", "Fairview", "Oakland",
+                                           "Salem"]),
+            ["Midway", "Fairview", "Oakland", "Salem"])
     elif table == "store_sales":
         # sold dates concentrate on the spec window 1998-2003
         lo_sk = DATE_SK0 + 35795   # 1998-01-01
@@ -167,6 +189,8 @@ def generate(table: str, sf: float) -> Table:
             T.BIGINT, _uni(ids, 52, 28800, 75600))
         cols["ss_item_sk"] = Column(
             T.BIGINT, _uni(ids, 53, 1, S.row_count("item", sf)))
+        cols["ss_customer_sk"] = Column(
+            T.BIGINT, _uni(ids, 66, 1, S.row_count("customer", sf)))
         cols["ss_cdemo_sk"] = Column(
             T.BIGINT, _uni(ids, 54, 1, S.CDEMO_ROWS))
         cols["ss_hdemo_sk"] = Column(

@@ -35,14 +35,14 @@ TABLE_SCHEMAS: Dict[str, List[Tuple[str, T.DataType]]] = {
         ("i_brand_id", T.BIGINT), ("i_brand", T.varchar(50)),
         ("i_category_id", T.BIGINT), ("i_category", T.varchar(50)),
         ("i_class_id", T.BIGINT), ("i_class", T.varchar(50)),
-        ("i_manufact_id", T.BIGINT), ("i_manager_id", T.BIGINT),
-        ("i_current_price", _D(7, 2)),
+        ("i_manufact_id", T.BIGINT), ("i_manufact", T.varchar(50)),
+        ("i_manager_id", T.BIGINT), ("i_current_price", _D(7, 2)),
     ],
     "store": [
         ("s_store_sk", T.BIGINT), ("s_store_id", T.varchar(16)),
         ("s_store_name", T.varchar(50)), ("s_number_employees", T.BIGINT),
         ("s_city", T.varchar(60)), ("s_state", T.varchar(2)),
-        ("s_gmt_offset", _D(5, 2)),
+        ("s_zip", T.varchar(10)), ("s_gmt_offset", _D(5, 2)),
     ],
     "promotion": [
         ("p_promo_sk", T.BIGINT), ("p_channel_dmail", T.varchar(1)),
@@ -57,9 +57,18 @@ TABLE_SCHEMAS: Dict[str, List[Tuple[str, T.DataType]]] = {
         ("hd_demo_sk", T.BIGINT), ("hd_dep_count", T.BIGINT),
         ("hd_vehicle_count", T.BIGINT),
     ],
+    "customer": [
+        ("c_customer_sk", T.BIGINT), ("c_customer_id", T.varchar(16)),
+        ("c_current_addr_sk", T.BIGINT), ("c_birth_year", T.BIGINT),
+    ],
+    "customer_address": [
+        ("ca_address_sk", T.BIGINT), ("ca_zip", T.varchar(10)),
+        ("ca_state", T.varchar(2)), ("ca_city", T.varchar(60)),
+    ],
     "store_sales": [
         ("ss_sold_date_sk", T.BIGINT), ("ss_sold_time_sk", T.BIGINT),
-        ("ss_item_sk", T.BIGINT), ("ss_cdemo_sk", T.BIGINT),
+        ("ss_item_sk", T.BIGINT), ("ss_customer_sk", T.BIGINT),
+        ("ss_cdemo_sk", T.BIGINT),
         ("ss_hdemo_sk", T.BIGINT), ("ss_store_sk", T.BIGINT),
         ("ss_promo_sk", T.BIGINT), ("ss_quantity", T.BIGINT),
         ("ss_list_price", _D(7, 2)), ("ss_sales_price", _D(7, 2)),
@@ -78,6 +87,8 @@ STORE_BASE = 12
 PROMO_BASE = 300
 CDEMO_ROWS = 1920800
 HDEMO_ROWS = 7200
+CUSTOMER_BASE = 100000
+ADDRESS_BASE = 50000
 STORE_SALES_BASE = 2880404
 
 
@@ -94,6 +105,11 @@ def row_count(table: str, sf: float) -> int:
         return max(int(STORE_BASE * max(sf, 0.01) ** 0.5), 2)
     if table == "promotion":
         return max(int(PROMO_BASE * min(sf, 1)), 30)
+    if table == "customer":
+        return max(int(CUSTOMER_BASE * min(sf, 1)), 1000) if sf < 1 \
+            else int(CUSTOMER_BASE * max(sf ** 0.5, 1))
+    if table == "customer_address":
+        return max(row_count("customer", sf) // 2, 500)
     if table == "store_sales":
         return max(int(STORE_SALES_BASE * sf), 1000)
     raise KeyError(table)

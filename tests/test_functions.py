@@ -255,3 +255,13 @@ class TestScalarBreadth:
             "select json_extract_scalar('{\"a\": {\"b\": [1, 2]}}', "
             "'$.a.b[1]') x from region limit 1")
         assert t.to_pydict()["x"] == ["2"]
+
+    def test_date_format(self, runner):
+        d = runner.run_sql(
+            "select date_format(date '2026-08-20', '%Y-%m-%d') a, "
+            "date_format(date '2026-08-20', '%W') w, "
+            "format_datetime(date '2026-08-20', 'yyyy/MM') f "
+            "from region limit 1").to_pydict()
+        assert d["a"] == ["2026-08-20"]
+        assert d["w"] == ["Thursday"]
+        assert d["f"] == ["2026/08"]
