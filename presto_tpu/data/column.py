@@ -50,6 +50,7 @@ class Column:
     dictionary: Optional[np.ndarray] = None  # kind==DICT: np.ndarray of str objects
     lengths: Optional[ArrayLike] = None      # kind==BYTES/ARRAY/MAP: int32 [N]
     values2: Optional[ArrayLike] = None      # kind==MAP: map values [N, W]
+    dictionary2: Optional[np.ndarray] = None  # kind==MAP: map-VALUE dict
 
     def __post_init__(self):
         if self.kind == DICT and self.dictionary is None:
@@ -101,9 +102,9 @@ class Column:
             vals = np.asarray(self.values)
             lens = np.asarray(self.lengths)
 
-            def elem(v, dtype):
-                if self.dictionary is not None and is_string(dtype):
-                    return str(self.dictionary[int(v)])
+            def elem(v, dtype, d):
+                if d is not None and is_string(dtype):
+                    return str(d[int(v)])
                 return v.item()
 
             from .types import ArrayType, MapType
@@ -111,7 +112,8 @@ class Column:
                 et = self.dtype.element if isinstance(self.dtype, ArrayType) \
                     else self.dtype
                 for i in range(n):
-                    out.append([elem(v, et) for v in vals[i, :lens[i]]]
+                    out.append([elem(v, et, self.dictionary)
+                                for v in vals[i, :lens[i]]]
                                if valid[i] else None)
             else:
                 v2 = np.asarray(self.values2)
@@ -119,8 +121,14 @@ class Column:
                     else self.dtype
                 vt = self.dtype.value if isinstance(self.dtype, MapType) \
                     else self.dtype
+                # map values decode through their OWN dictionary; falling
+                # back to the key dictionary only for legacy single-dict
+                # columns
+                vdict = self.dictionary2 if self.dictionary2 is not None \
+                    else self.dictionary
                 for i in range(n):
-                    out.append({elem(k, kt): elem(v, vt) for k, v in
+                    out.append({elem(k, kt, self.dictionary):
+                                elem(v, vt, vdict) for k, v in
                                 zip(vals[i, :lens[i]], v2[i, :lens[i]])}
                                if valid[i] else None)
             return out

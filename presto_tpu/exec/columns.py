@@ -54,19 +54,20 @@ class DCol:
     values: jnp.ndarray            # PLAIN:[N] | DICT codes:[N] | else:[N,W]
     lengths: Optional[jnp.ndarray] = None   # BYTES/ARRAY/MAP
     validity: Optional[jnp.ndarray] = None  # bool [N]; None = all valid
-    dictionary: Optional[Dictionary] = None  # DICT / string-typed elements
+    dictionary: Optional[Dictionary] = None  # DICT / string keys (MAP)
     values2: Optional[jnp.ndarray] = None    # MAP: map values [N, W]
+    dictionary2: Optional[Dictionary] = None  # MAP: string map-VALUE dict
 
     def tree_flatten(self):
         return ((self.values, self.lengths, self.validity, self.values2),
-                (self.dtype, self.kind, self.dictionary))
+                (self.dtype, self.kind, self.dictionary, self.dictionary2))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        dtype, kind, dictionary = aux
+        dtype, kind, dictionary, dictionary2 = aux
         values, lengths, validity, values2 = children
         return cls(dtype, kind, values, lengths, validity, dictionary,
-                   values2)
+                   values2, dictionary2)
 
     @property
     def n_rows(self) -> int:
@@ -86,7 +87,8 @@ class DCol:
         return DCol(self.dtype, self.kind, self.values[i],
                     None if self.lengths is None else self.lengths[i],
                     v, self.dictionary,
-                    None if self.values2 is None else self.values2[i])
+                    None if self.values2 is None else self.values2[i],
+                    self.dictionary2)
 
 
 def from_host(col: Column) -> DCol:
@@ -99,9 +101,11 @@ def from_host(col: Column) -> DCol:
                     jnp.asarray(col.lengths), validity)
     if col.kind in (ARRAY, MAP):
         d = None if col.dictionary is None else Dictionary(col.dictionary)
+        d2 = None if getattr(col, "dictionary2", None) is None else \
+            Dictionary(col.dictionary2)
         v2 = None if col.values2 is None else jnp.asarray(col.values2)
         return DCol(col.dtype, col.kind, jnp.asarray(col.values),
-                    jnp.asarray(col.lengths), validity, d, v2)
+                    jnp.asarray(col.lengths), validity, d, v2, d2)
     return DCol(col.dtype, PLAIN, jnp.asarray(col.values), None, validity)
 
 
@@ -117,9 +121,11 @@ def to_host(col: DCol, sel: np.ndarray) -> Column:
                       lengths=np.asarray(col.lengths)[sel])
     if col.kind in (ARRAY, MAP):
         d = None if col.dictionary is None else col.dictionary.strings
+        d2 = None if col.dictionary2 is None else col.dictionary2.strings
         v2 = None if col.values2 is None else np.asarray(col.values2)[sel]
         return Column(col.dtype, vals, validity, col.kind, dictionary=d,
-                      lengths=np.asarray(col.lengths)[sel], values2=v2)
+                      lengths=np.asarray(col.lengths)[sel], values2=v2,
+                      dictionary2=d2)
     if vals.ndim == 2 and T.is_decimal(col.dtype):
         # long decimal (hi, lo) words → exact python ints
         from ..ops.int128 import to_host_ints

@@ -1,11 +1,15 @@
-"""Scan layer: TPC-H generator → cached device Chunks.
+"""Scan layer: connector SPI → cached device Chunks.
 
-The analogue of the reference's connector page source for TPC-H
-(``plugin/trino-tpch/.../TpchRecordSet.java:86``) with column pruning
-(generation is per-column) and a device-resident table cache (scans of hot
+The engine side of the connector seam: resolves tables through the
+``CatalogManager`` (tpch + memory by default, tpcds et al. by
+registration), reads host columns via each connector's page source with
+column pruning, and keeps a device-resident column cache (scans of hot
 tables cost zero host↔device transfers after first touch — the role the
 reference's buffer pools play).  ``split=(k, n)`` scans the k-th of n row
 slices (``TpchSplitManager.java:55`` partNumber/totalParts semantics).
+
+Reference: ``operator/ScanFilterAndProjectOperator.java:67`` consumes a
+``ConnectorPageSource``; here the same seam feeds device ingest.
 """
 
 from __future__ import annotations
@@ -14,78 +18,113 @@ from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
+from ..connector import CatalogManager, memory_connector, tpch_connector
 from ..data.column import BYTES as BYTES_KIND, DICT as DICT_KIND
-from ..tpch import generator
 from .columns import Chunk, DCol, from_host
 
 
 class DataSource:
     def __init__(self, scale_factor: float, split: Tuple[int, int] = (0, 1),
                  device_budget_bytes: int = None,
-                 ingest_slice_rows: int = None):
+                 ingest_slice_rows: int = None,
+                 catalog: Optional[CatalogManager] = None):
         from ..utils.memory import MemoryPool
         self.sf = scale_factor
         self.split = split
         self._cols: Dict[Tuple[str, str], DCol] = {}
         self._nrows: Dict[str, int] = {}
-        # writable in-memory catalog (the plugin/trino-memory analogue)
-        self.memory: Dict[str, "Table"] = {}
         self.catalog_version = 0  # bumped on DDL/DML; invalidates plan caches
+        # formal connector registry: tpch + writable memory by default;
+        # additional connectors (tpcds, ...) register on self.catalog
+        self.catalog = catalog or CatalogManager()
+        if catalog is None:
+            self.catalog.register(tpch_connector(scale_factor))
+            self.catalog.register(memory_connector(self._bump))
+        # back-compat view: the writable memory catalog's table dict
+        mem = self.catalog._connectors.get("memory")
+        self.memory = mem.metadata.tables if mem is not None else {}
         # HBM budget for the device column cache: cached columns are
         # revocable (drop to host tier, regenerate on next touch)
         self.pool = MemoryPool(device_budget_bytes)
-        # generator→device ingest happens in row slices of this size so
+        # connector→device ingest happens in row slices of this size so
         # host peak memory is bounded by the slice, not the table
         self.ingest_slice_rows = ingest_slice_rows
         self.ingest_slices = 0  # observability/testing counter
+
+    def _bump(self) -> None:
+        self.catalog_version += 1
+
+    def register(self, connector) -> None:
+        """Attach an additional connector (PluginManager.loadPlugins role)."""
+        self.catalog.register(connector)
+        self._bump()
+
+    def _resolve(self, table: str):
+        hit = self.catalog.resolve(table)
+        if hit is None:
+            raise KeyError(f"unknown table {table}")
+        return hit
+
+    def extra_schemas(self) -> Dict[str, list]:
+        """Schemas of every non-tpch connector table (feeds the planner's
+        ``extra_tables``)."""
+        out: Dict[str, list] = {}
+        for conn in self.catalog.connectors():
+            if conn.name == "tpch":
+                continue
+            for t in conn.metadata.list_tables():
+                out[t] = conn.metadata.columns(t)
+        return out
+
+    def extra_stats(self) -> Dict[str, tuple]:
+        """{table: (row_count, primary_key)} for non-tpch connector tables
+        (CBO inputs through the SPI's metadata stats hooks)."""
+        out: Dict[str, tuple] = {}
+        for conn in self.catalog.connectors():
+            if conn.name == "tpch":
+                continue
+            for t in conn.metadata.list_tables():
+                out[t] = (conn.metadata.row_count(t),
+                          conn.metadata.primary_key(t))
+        return out
 
     def memory_schema(self, name: str):
         t = self.memory[name]
         return [(cname, col.dtype) for cname, col in t.columns.items()]
 
-    def create_table(self, name: str, table) -> None:
-        self.catalog_version += 1
-        self.memory[name] = table
-        # drop any cached device columns of a replaced table
+    def _drop_cached(self, name: str) -> None:
         for key in [k for k in self._cols if k[0] == name]:
             del self._cols[key]
+
+    def create_table(self, name: str, table) -> None:
+        sink = self.catalog.get("memory").page_sink
+        sink.create_table(name, table)
+        self._drop_cached(name)
 
     def insert_into(self, name: str, table) -> None:
-        import numpy as np
-        from ..data.table import Table as HostTable
-        from ..data.column import Column
-        base = self.memory[name]
-        assert len(base.names) == len(table.names), \
-            "INSERT column count mismatch"
-        merged = {}
-        for cname, src in zip(base.names, table.names):  # positional
-            a, b = base.columns[cname], table.columns[src]
-            merged[cname] = _concat_host_cols(a, b)
-        self.create_table(name, HostTable(merged))
+        sink = self.catalog.get("memory").page_sink
+        sink.insert(name, table)
+        self._drop_cached(name)
 
     def drop_table(self, name: str) -> None:
-        self.catalog_version += 1
-        del self.memory[name]
-        for key in [k for k in self._cols if k[0] == name]:
-            del self._cols[key]
+        sink = self.catalog.get("memory").page_sink
+        sink.drop_table(name)
+        self._drop_cached(name)
 
     def _split_range(self, table: str):
         k, n = self.split
-        total = generator.total_unit_rows(table, self.sf)
-        unit = 4 if table == "partsupp" else 1
-        per = ((total // unit + n - 1) // n) * unit
-        first = min(k * per, total)
-        count = min(per, total - first)
-        return first, count
+        conn, tbl = self._resolve(table)
+        if not conn.splittable:
+            # replicated scan: every process reads the whole table
+            k, n = 0, 1
+        sp = conn.split_manager.splits(tbl, n)[k]
+        return sp.first_row, sp.row_count
 
     def scan(self, table: str, columns, alias_prefix: str = "") -> Chunk:
         missing = [c for c in columns
                    if (table, c) not in self._cols]
         fresh: Dict[str, DCol] = {}
-        if missing and table in self.memory:
-            t = self.memory[table]
-            fresh = {name: from_host(col) for name, col in t.columns.items()}
-        elif missing:
+        if missing:
             first, count = self._split_range(table)
             fresh = self._ingest(table, missing, first, count)
             for dc in fresh.values():
@@ -113,23 +152,23 @@ class DataSource:
 
     def _ingest(self, table: str, columns, first: int,
                 count: int) -> Dict[str, DCol]:
-        """Generate + device_put in bounded row slices (chunked scan
-        ingest: host peak is one slice, the reference's page-at-a-time
-        cursor — ``TpchRecordSet.cursor():86``)."""
+        """Page-source read + device_put in bounded row slices (chunked
+        scan ingest: host peak is one slice, the reference's
+        page-at-a-time cursor — ``TpchRecordSet.cursor():86``)."""
+        conn, tbl = self._resolve(table)
+        src = conn.page_source
         step = self.ingest_slice_rows or count
         if step >= count:
             self.ingest_slices += 1
-            t = generator.generate(table, self.sf, columns=list(columns),
-                                   first_row=first, n_rows=count)
-            return {n: from_host(c) for n, c in t.columns.items()}
+            cols = src.read(tbl, list(columns), first, count)
+            return {n: from_host(c) for n, c in cols.items()}
         parts: Dict[str, list] = {c: [] for c in columns}
         got = 0
         while got < count:
             n = min(step, count - got)
-            t = generator.generate(table, self.sf, columns=list(columns),
-                                   first_row=first + got, n_rows=n)
+            cols = src.read(tbl, list(columns), first + got, n)
             self.ingest_slices += 1
-            for name, col in t.columns.items():
+            for name, col in cols.items():
                 parts[name].append(from_host(col))  # slice → device now
             got += n
         return {name: _concat_device_cols(cols)
@@ -139,10 +178,10 @@ class DataSource:
                    count: int) -> Chunk:
         """Uncached row-range scan (streaming aggregation consumes slices
         and never materializes the whole table on device)."""
-        t = generator.generate(table, self.sf, columns=list(columns),
-                               first_row=first, n_rows=count)
+        conn, tbl = self._resolve(table)
+        hcols = conn.page_source.read(tbl, list(columns), first, count)
         self.ingest_slices += 1
-        cols = {c: from_host(t.columns[c]) for c in columns}
+        cols = {c: from_host(hcols[c]) for c in columns}
         n = next(iter(cols.values())).n_rows if cols else count
         return Chunk(cols, jnp.ones((n,), jnp.bool_))
 

@@ -19,6 +19,7 @@ null-poisoning; AND/OR are 3-valued; filters drop null predicates
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -199,6 +200,8 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
         rt = expr.dtype
         if T.is_string(rt):
             return _eval_case_bytes(expr, chunk)
+        if isinstance(rt, (T.ArrayType, T.MapType)):
+            return _eval_case_nested(expr, chunk, n)
         out = None
         valid = None
         taken = jnp.zeros((n,), jnp.bool_)
@@ -412,10 +415,21 @@ def _string_transform(col: DCol, f, out_dtype) -> DCol:
     (tiny) dictionary; BYTES columns decode eagerly (op path only)."""
     from .columns import Dictionary
     if col.kind == DICT:
-        return DCol(out_dtype, DICT, col.values, validity=col.validity,
-                    dictionary=Dictionary(np.array(
-                        [f(str(s)) for s in col.dictionary.strings],
-                        dtype=object)))
+        # re-unique: transforms that collapse distinct inputs (trim,
+        # regexp_replace, ...) must not leave duplicate dictionary entries
+        # — downstream GROUP BY/join equality compares CODES, so 'a' and
+        # 'a ' both trimming to 'a' would otherwise stay distinct groups.
+        mapped = np.array([f(str(s)) for s in col.dictionary.strings],
+                          dtype=str)
+        uniq, remap = np.unique(mapped, return_inverse=True)
+        if len(uniq) == len(mapped):
+            new_codes = col.values          # injective: keep codes as-is
+            new_dict = mapped.astype(object)
+        else:
+            new_codes = jnp.asarray(remap.astype(np.int32))[col.values]
+            new_dict = uniq.astype(object)
+        return DCol(out_dtype, DICT, new_codes, validity=col.validity,
+                    dictionary=Dictionary(new_dict))
     assert col.kind == BYTES
     strs = [f(s) for s in _host_decode(col)]
     uniq, codes = np.unique(np.array(strs, dtype=str), return_inverse=True)
@@ -644,15 +658,18 @@ def _eval_date_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
         a = args[0]
         fmt = _lit_str(expr.args[1])
         if name == "date_format":      # MySQL specifiers (Trino semantics)
-            for sql_c, py_c in (("%Y", "%Y"), ("%y", "%y"), ("%m", "%m"),
-                                ("%d", "%d"), ("%H", "%H"), ("%i", "%M"),
-                                ("%s", "%S"), ("%W", "%A"), ("%a", "%a"),
-                                ("%M", "%B"), ("%j", "%j")):
-                fmt = fmt.replace(sql_c, py_c)
+            # single-pass token translation: chained str.replace aliases
+            # (%i→%M runs before %M→%B, so '%H:%i' became '14:August')
+            _mysql = {"%Y": "%Y", "%y": "%y", "%m": "%m", "%d": "%d",
+                      "%H": "%H", "%i": "%M", "%s": "%S", "%W": "%A",
+                      "%a": "%a", "%M": "%B", "%j": "%j", "%%": "%%"}
+            fmt = re.sub(r"%.", lambda m: _mysql.get(m.group(0),
+                                                     m.group(0)), fmt)
         else:                           # Joda-ish → strftime (common subset)
-            for jd, py_c in (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
-                             ("HH", "%H"), ("mm", "%M"), ("ss", "%S")):
-                fmt = fmt.replace(jd, py_c)
+            _joda = {"yyyy": "%Y", "MM": "%m", "dd": "%d",
+                     "HH": "%H", "mm": "%M", "ss": "%S"}
+            fmt = re.sub(r"yyyy|MM|dd|HH|mm|ss",
+                         lambda m: _joda[m.group(0)], fmt)
         if isinstance(a.values, _jc.Tracer):
             raise NotImplementedError(
                 "date_format inside a fused program (runs on the "
@@ -748,6 +765,17 @@ def _pos_grid(w: int, lengths: jnp.ndarray) -> jnp.ndarray:
     return jnp.arange(w)[None, :] < lengths[:, None]
 
 
+def _bytes_to_dict(col: DCol) -> DCol:
+    """BYTES strings → DICT codes by host-side interning (eager only:
+    raises inside a trace, where the op-at-a-time path takes over)."""
+    from .columns import Dictionary
+    strs = _host_decode(col)
+    uniq, codes = np.unique(np.array(strs, dtype=str), return_inverse=True)
+    return DCol(col.dtype, DICT, jnp.asarray(codes.astype(np.int32)),
+                validity=col.validity,
+                dictionary=Dictionary(uniq.astype(object)))
+
+
 def _eval_array_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
     """ARRAY/MAP functions over the fixed-capacity [N, W] layout
     (reference: ``operator/scalar/ArrayFunctions`` family +
@@ -764,17 +792,30 @@ def _eval_array_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
                         jnp.zeros((n,), jnp.int32))
         dictionary = None
         cols = []
-        for a in args:
-            if a.kind == DICT:
-                assert dictionary is None or dictionary is a.dictionary, \
-                    "string array elements must share one dictionary"
-                dictionary = a.dictionary
-                cols.append(a.values)
-            elif T.is_decimal(et):
-                cols.append(D.rescale(a.values.astype(jnp.int64),
-                                      _scale_of(a.dtype), es))
-            else:
-                cols.append(a.values.astype(np.dtype(et.np_dtype)))
+        if T.is_string(et):
+            # union the element dictionaries, recoding each argument's
+            # codes into the shared space (BYTES literals decode on the
+            # host first — constructor arguments are concrete)
+            from .columns import Dictionary
+            norm = [a if a.kind == DICT else _bytes_to_dict(a)
+                    for a in args]
+            union: dict = {}
+            for a in norm:
+                for s in a.dictionary.strings:
+                    union.setdefault(str(s), len(union))
+            dictionary = Dictionary(np.array(list(union), dtype=object))
+            for a in norm:
+                remap = np.array([union[str(s)]
+                                  for s in a.dictionary.strings], np.int32)
+                cols.append(jnp.asarray(remap)[a.values])
+            args = norm
+        else:
+            for a in args:
+                if T.is_decimal(et):
+                    cols.append(D.rescale(a.values.astype(jnp.int64),
+                                          _scale_of(a.dtype), es))
+                else:
+                    cols.append(a.values.astype(np.dtype(et.np_dtype)))
         vals = jnp.stack(cols, axis=1)
         return DCol(expr.dtype, ARRAY, vals,
                     jnp.full((n,), len(args), jnp.int32),
@@ -788,10 +829,13 @@ def _eval_array_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
 
         def pad(x):
             return jnp.pad(x, ((0, 0), (0, w - x.shape[1])))
+        # keys and values carry separate dictionaries (dictionary /
+        # dictionary2) — never share one namespace
         return DCol(expr.dtype, MAP, pad(k.values),
                     jnp.minimum(k.lengths, v.lengths),
                     _and_validity(k.validity, v.validity),
-                    k.dictionary or v.dictionary, pad(v.values))
+                    k.dictionary, pad(v.values),
+                    dictionary2=v.dictionary)
 
     if name == "sequence":             # sequence(lo, hi[, step]) literals
         # static W from the literal IR bounds (planner enforces literals;
@@ -816,17 +860,39 @@ def _eval_array_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
         idx = args[1]
         w = a.values.shape[1]
         if a.kind == MAP:
-            # key lookup: first position whose key equals the probe
-            keyv = idx.values.astype(a.values.dtype)
+            # key lookup: first position whose key equals the probe.
+            # String keys are dictionary CODES in the map's own key
+            # dictionary — a probe expression carries codes from ITS
+            # dictionary, so recode through a host-built remap table
+            # before comparing (codes from unrelated dictionaries are
+            # not comparable numbers).
+            if a.dictionary is not None and idx.kind == BYTES:
+                idx = _bytes_to_dict(idx)
+            if a.dictionary is not None and idx.kind == DICT and \
+                    idx.dictionary is not a.dictionary:
+                key_code = {str(s): i
+                            for i, s in enumerate(a.dictionary.strings)}
+                remap = np.array([key_code.get(str(s), -1)
+                                  for s in idx.dictionary.strings],
+                                 np.int32)
+                keyv = jnp.asarray(remap)[idx.values].astype(
+                    a.values.dtype)
+            else:
+                keyv = idx.values.astype(a.values.dtype)
             eq = (a.values == keyv[:, None]) & _pos_grid(w, a.lengths)
             found = eq.any(axis=1)
             pos = jnp.argmax(eq, axis=1)
             vals = jnp.take_along_axis(
                 a.values2, pos[:, None], axis=1)[:, 0]
             et = expr.dtype
-            return DCol(et, PLAIN, vals,
+            vdict = a.dictionary2 if a.dictionary2 is not None \
+                else (a.dictionary if T.is_string(et) else None)
+            kind = DICT if (vdict is not None and T.is_string(et)) \
+                else PLAIN
+            return DCol(et, kind, vals,
                         validity=_and_validity(a.validity, idx.validity,
-                                               found))
+                                               found),
+                        dictionary=vdict if kind == DICT else None)
         i = idx.values.astype(jnp.int64)
         pos = jnp.where(i > 0, i - 1, a.lengths.astype(jnp.int64) + i)
         ok = (pos >= 0) & (pos < a.lengths)
@@ -892,8 +958,52 @@ def _eval_array_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
                     a.dictionary)
     if name == "map_values":
         return DCol(expr.dtype, ARRAY, a.values2, a.lengths, a.validity,
-                    a.dictionary)
+                    a.dictionary2 if a.dictionary2 is not None
+                    else a.dictionary)
     return None
+
+
+def _eval_case_nested(expr: ir.Case, chunk: Chunk, n: int) -> DCol:
+    """CASE whose result type is ARRAY/MAP: branch columns pad to a shared
+    width and merge per-row (values, lengths, validity together)."""
+    rt = expr.dtype
+    branches = []        # (cond_mask | None-for-default, DCol)
+    taken = jnp.zeros((n,), jnp.bool_)
+    for cond, val in expr.whens:
+        c = eval_expr(cond, chunk)
+        cm = c.values.astype(jnp.bool_) & c.valid_or_true() & ~taken
+        branches.append((cm, eval_expr(val, chunk)))
+        taken = taken | cm
+    if expr.default is not None:
+        branches.append((~taken, eval_expr(expr.default, chunk)))
+    cols = [b for _, b in branches]
+    w = max((c.values.shape[1] for c in cols), default=0)
+    dicts = [c.dictionary for c in cols if c.dictionary is not None]
+    dicts2 = [c.dictionary2 for c in cols if c.dictionary2 is not None]
+    assert all(d is dicts[0] for d in dicts), \
+        "CASE array branches with distinct dictionaries not supported"
+
+    def pad(x, dt):
+        if x is None:
+            return jnp.zeros((n, w), dt)
+        return jnp.pad(x, ((0, 0), (0, w - x.shape[1])))
+
+    dt = cols[0].values.dtype
+    out_v = jnp.zeros((n, w), dt)
+    out_v2 = jnp.zeros((n, w), dt) if rt and isinstance(rt, T.MapType) \
+        else None
+    out_len = jnp.zeros((n,), jnp.int32)
+    out_valid = jnp.zeros((n,), jnp.bool_)
+    for cm, c in branches:
+        out_v = jnp.where(cm[:, None], pad(c.values, dt), out_v)
+        if out_v2 is not None:
+            out_v2 = jnp.where(cm[:, None], pad(c.values2, dt), out_v2)
+        out_len = jnp.where(cm, c.lengths, out_len)
+        out_valid = jnp.where(cm, c.valid_or_true(), out_valid)
+    return DCol(rt, MAP if isinstance(rt, T.MapType) else ARRAY,
+                out_v, out_len, out_valid,
+                dicts[0] if dicts else None, out_v2,
+                dicts2[0] if dicts2 else None)
 
 
 def _eval_case_bytes(expr: ir.Case, chunk: Chunk) -> DCol:
@@ -947,6 +1057,17 @@ def _to_days(col: DCol) -> jnp.ndarray:
 def _cast(col: DCol, to: T.DataType) -> DCol:
     if col.dtype == to:
         return col
+    if isinstance(to, (T.ArrayType, T.MapType)) and \
+            col.kind not in (ARRAY, MAP):
+        # only the all-NULL case is castable from a scalar column
+        # (CAST(NULL AS array(...))); produce a zero-width nested column
+        n = col.values.shape[0]
+        et = to.element if isinstance(to, T.ArrayType) else to.key
+        dt = np.dtype(getattr(et, "np_dtype", np.int64))
+        v2 = jnp.zeros((n, 0), dt) if isinstance(to, T.MapType) else None
+        return DCol(to, ARRAY if isinstance(to, T.ArrayType) else MAP,
+                    jnp.zeros((n, 0), dt), jnp.zeros((n,), jnp.int32),
+                    jnp.zeros((n,), jnp.bool_), values2=v2)
     fs, ts = _scale_of(col.dtype), _scale_of(to)
     if _is_i128(col):
         hi, lo = I128.unpack(col.values)

@@ -440,10 +440,17 @@ def _unnest_kernel(chunk: Chunk, exprs, names, ordinality) -> Chunk:
     row = jnp.repeat(jnp.arange(n), w)          # [n*w]
     pos = jnp.tile(jnp.arange(w), n)            # [n*w]
     # zip semantics (multiple UNNEST args): expand to the MAX length,
-    # shorter arrays pad with NULL elements
-    maxlen = arrs[0].lengths
+    # shorter arrays pad with NULL elements.  A NULL array contributes
+    # ZERO rows (Trino: UNNEST of NULL emits nothing), so each
+    # argument's row validity gates its length's contribution to maxlen.
+    def eff_len(a):
+        if a.validity is None:
+            return a.lengths
+        return jnp.where(a.validity, a.lengths, 0)
+
+    maxlen = eff_len(arrs[0])
     for a in arrs[1:]:
-        maxlen = jnp.maximum(maxlen, a.lengths)
+        maxlen = jnp.maximum(maxlen, eff_len(a))
     out_mask = chunk.mask[row] & (pos < maxlen[row])
     cols = {nm: c.take(row) for nm, c in chunk.cols.items()}
     for a, outs in zip(arrs, names):
@@ -462,9 +469,12 @@ def _unnest_kernel(chunk: Chunk, exprs, names, ordinality) -> Chunk:
                                  ev, validity=elem_valid,
                                  dictionary=a.dictionary
                                  if T.is_string(kt) else None)
-            cols[outs[1]] = DCol(vt, kind if T.is_string(vt) else PLAIN,
+            vdict = a.dictionary2 if a.dictionary2 is not None \
+                else a.dictionary
+            cols[outs[1]] = DCol(vt, (DICT if vdict is not None else PLAIN)
+                                 if T.is_string(vt) else PLAIN,
                                  ev2, validity=elem_valid,
-                                 dictionary=a.dictionary
+                                 dictionary=vdict
                                  if T.is_string(vt) else None)
         else:
             cols[outs[0]] = DCol(a.dtype.element, kind, ev,
@@ -1304,8 +1314,12 @@ def _agg_pack(spec: AggSpec, chunk: Chunk, slot, capacity,
         v2 = scalarize(eval_expr(spec.arg2, chunk))
         vals2_m = _group_pack_kernel(v2.values, slot, pos, vmask,
                                      capacity, width)
+        # keys and values carry SEPARATE dictionaries: decoding values
+        # through the key dictionary (the old shared-dict layout) returned
+        # wrong strings for map_agg(varchar, varchar)
         return DCol(ot, COL_MAP, vals_m, counts.astype(jnp.int32),
-                    gvalid, c.dictionary or v2.dictionary, vals2_m)
+                    gvalid, c.dictionary, vals2_m,
+                    dictionary2=v2.dictionary)
     return DCol(ot, COL_ARRAY, vals_m, counts.astype(jnp.int32),
                 gvalid, c.dictionary)
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 import threading
 
 import numpy as np
@@ -27,13 +26,35 @@ _lib = None
 _tried = False
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 build cache.
+
+    Building into a fixed world-writable path under /tmp would let another
+    local user pre-plant a malicious .so that we then CDLL; use
+    ``~/.cache`` (or XDG_CACHE_HOME) with mode 0700 and refuse directories
+    we don't own.
+    """
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    d = os.path.join(base, "presto_tpu_native")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise OSError(f"refusing unsafe native cache dir {d!r} "
+                      "(not owned by us or group/world-writable)")
+    return d
+
+
 def _build() -> str | None:
-    cache_dir = os.path.join(tempfile.gettempdir(), "presto_tpu_native")
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        cache_dir = _cache_dir()
+    except OSError:
+        return None
     so = os.path.join(cache_dir, "lcgkernels.so")
     try:
-        if os.path.exists(so) and \
-                os.path.getmtime(so) >= os.path.getmtime(_SRC):
+        st = os.stat(so)
+        if st.st_uid == os.getuid() and \
+                st.st_mtime >= os.path.getmtime(_SRC):
             return so
     except OSError:
         pass

@@ -427,6 +427,26 @@ class Parser:
 
     # --- expressions (precedence climbing) ---
 
+    def _parse_type_name(self) -> str:
+        """Type name in CAST: simple (``bigint``), parameterized
+        (``decimal(12,2)``), or nested (``array(integer)``,
+        ``map(varchar, bigint)``) — rendered back to its canonical
+        string for the analyzer (reference grammar rule ``type`` in
+        ``SqlBase.g4``)."""
+        tn = self.next().value
+        if self.accept("op", "("):
+            args = []
+            while True:
+                if self.peek().kind == "number":
+                    args.append(self.next().value)
+                else:
+                    args.append(self._parse_type_name())
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            tn = f"{tn}({','.join(args)})"
+        return tn
+
     def parse_expr(self) -> ast.Node:
         return self.parse_or()
 
@@ -580,14 +600,7 @@ class Parser:
                 self.expect("op", "(")
                 e = self.parse_expr()
                 self.expect("kw", "as")
-                tn = self.expect("name").value if self.peek().kind == "name" \
-                    else self.next().value
-                if self.accept("op", "("):
-                    args = [self.expect("number").value]
-                    while self.accept("op", ","):
-                        args.append(self.expect("number").value)
-                    self.expect("op", ")")
-                    tn = f"{tn}({','.join(args)})"
+                tn = self._parse_type_name()
                 self.expect("op", ")")
                 return ast.CastExpr(e, tn)
             if self.accept("kw", "extract"):

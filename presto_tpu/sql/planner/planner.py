@@ -118,13 +118,17 @@ class Rel:
 # ---------------------------------------------------------------- planner
 
 class Planner:
-    def __init__(self, scale_factor: float, extra_tables=None):
+    def __init__(self, scale_factor: float, extra_tables=None,
+                 extra_stats=None):
         self.sf = scale_factor
         self.counter = 0
         self.used_prefixes: Set[str] = set()
         self.ctes: Dict[str, ast.Select] = {}
-        # user tables from the writable memory catalog: name → [(col, type)]
+        # non-tpch connector tables: name → [(col, type)]
         self.extra_tables: Dict[str, list] = extra_tables or {}
+        # name → (row_count, primary_key) from connector metadata (the
+        # ConnectorMetadata.getTableStatistics seam)
+        self.extra_stats: Dict[str, tuple] = extra_stats or {}
 
     def fresh(self, base: str) -> str:
         self.counter += 1
@@ -414,7 +418,9 @@ class Planner:
             scope.add(alias, cname, phys, ctype)
         plan = P.PhysScan(name, tuple(c for c, _ in cols_types),
                           alias_prefix=prefix)
-        return Rel(plan, scope, cols, [], 10_000.0)
+        rows, pkey = self.extra_stats.get(name, (10_000.0, ()))
+        uk = [frozenset(prefix + k for k in pkey)] if pkey else []
+        return Rel(plan, scope, cols, uk, float(rows), base=float(rows))
 
     def _aliased_subquery(self, sub: Rel, alias: str) -> Rel:
         """Rename subquery outputs into an alias-prefixed namespace."""
@@ -1323,7 +1329,7 @@ class Planner:
             hit = [i for i, r in enumerate(comps) if refs & r.columns]
             if len(hit) == 1 and refs <= comps[hit[0]].columns:
                 comps[hit[0]].plan = P.PhysFilter(comps[hit[0]].plan, c)
-                comps[hit[0]].est *= self._selectivity(c)
+                comps[hit[0]].est *= self.selectivity(c)
             else:
                 pending.append(c)
 
@@ -1367,7 +1373,7 @@ class Planner:
                     refs = set(ir.referenced_columns(c))
                     if refs <= merged.columns:
                         merged.plan = P.PhysFilter(merged.plan, c)
-                        merged.est *= self._selectivity(c)
+                        merged.est *= self.selectivity(c)
                     else:
                         new_pending.append(c)
                 pending = new_pending
@@ -1437,7 +1443,7 @@ class Planner:
                 refs = set(ir.referenced_columns(c))
                 if refs <= merged.columns:
                     merged.plan = P.PhysFilter(merged.plan, c)
-                    merged.est *= self._selectivity(c)
+                    merged.est *= self.selectivity(c)
                 else:
                     new_pending.append(c)
             pending = new_pending
@@ -1480,6 +1486,8 @@ class Planner:
 
     @staticmethod
     def _selectivity(c: ir.Expr) -> float:
+        """Crude structural fallback; prefer the stats-aware instance
+        method ``selectivity`` (reference: ``cost/FilterStatsCalculator``)."""
         if isinstance(c, ir.Compare):
             return 0.1 if c.op == "=" else 0.4
         if isinstance(c, (ir.Like, ir.InList)):
@@ -1487,6 +1495,80 @@ class Planner:
         if isinstance(c, ir.Between):
             return 0.3
         return 0.5
+
+    # column-stats-driven predicate selectivity (the FilterStatsCalculator
+    # role: equality → 1/ndv, range → interval fraction of [min,max],
+    # reference ``cost/FilterStatsCalculator.java`` + ``ComparisonStatsCalculator``)
+    _PREFIX_TABLE = {v: k for k, v in SCH.COLUMN_PREFIXES.items()}
+
+    def _col_stats(self, col: str):
+        """(ndv, lo, hi) for a physical column name; lo/hi may be None."""
+        pre = col.split("_")[0] + "_"
+        table = self._PREFIX_TABLE.get(pre)
+        ndv = SCH.ndv_estimate(table or "", col, self.sf) if table else None
+        rng = SCH.value_range(col, self.sf)
+        return ndv, (rng[0] if rng else None), (rng[1] if rng else None)
+
+    @staticmethod
+    def _lit_num(e: ir.Expr):
+        if isinstance(e, ir.Literal) and isinstance(e.value, (int, float)):
+            return float(e.value)
+        return None
+
+    def selectivity(self, c: ir.Expr) -> float:
+        if isinstance(c, ir.Logical):
+            sels = [self.selectivity(a) for a in c.args]
+            if c.op == "and":
+                out = 1.0
+                for s in sels:
+                    out *= s
+                return out
+            out = 0.0                       # OR: inclusion-exclusion, capped
+            for s in sels:
+                out = out + s - out * s
+            return min(out, 1.0)
+        if isinstance(c, ir.Compare):
+            cols = list(ir.referenced_columns(c))
+            if len(cols) == 1:
+                col = cols[0]
+                ndv, lo, hi = self._col_stats(col)
+                lit = self._lit_num(c.right) if isinstance(
+                    c.left, ir.ColumnRef) else self._lit_num(c.left)
+                op = c.op
+                if lit is None and not isinstance(c.left, ir.ColumnRef):
+                    pass
+                elif not isinstance(c.left, ir.ColumnRef):
+                    # literal OP col → flip
+                    op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(
+                        op, op)
+                if op == "=" and ndv:
+                    return max(1.0 / ndv, 1e-9)
+                if op == "<>" and ndv:
+                    return 1.0 - 1.0 / ndv
+                if lit is not None and lo is not None and hi > lo:
+                    frac = (lit - lo) / (hi - lo)
+                    frac = min(max(frac, 0.0), 1.0)
+                    if op in ("<", "<="):
+                        return max(frac, 0.01)
+                    if op in (">", ">="):
+                        return max(1.0 - frac, 0.01)
+            return self._selectivity(c)
+        if isinstance(c, ir.Between):
+            cols = list(ir.referenced_columns(c))
+            if len(cols) == 1:
+                _, lo, hi = self._col_stats(cols[0])
+                a, b = self._lit_num(c.lo), self._lit_num(c.hi)
+                if None not in (a, b, lo, hi) and hi > lo:
+                    return min(max((b - a) / (hi - lo), 0.005), 1.0)
+            return 0.3
+        if isinstance(c, ir.InList):
+            cols = list(ir.referenced_columns(c))
+            if len(cols) == 1:
+                ndv, _, _ = self._col_stats(cols[0])
+                if ndv:
+                    return min(len(c.values) / ndv, 1.0)
+            return 0.3
+        return self._selectivity(c)
 
     # ---- outer joins ----
 
@@ -1788,6 +1870,26 @@ def _parse_type(name: str) -> T.DataType:
             p, s = (inner.split(",") + ["0"])[:2]
             return T.decimal(int(p), int(s))
         return T.decimal(38, 0)
-    if name.startswith("varchar"):
+    if name.startswith("varchar") or name.startswith("char"):
         return T.varchar()
+    if name == "boolean":
+        return T.BOOLEAN
+    if name in ("real", "float"):
+        return T.DOUBLE
+    if name in ("smallint", "tinyint"):
+        return T.BIGINT
+    if name.startswith("array(") and name.endswith(")"):
+        return T.ArrayType(_parse_type(name[6:-1]))
+    if name.startswith("map(") and name.endswith(")"):
+        inner = name[4:-1]
+        depth, split = 0, None
+        for i, ch in enumerate(inner):
+            depth += ch == "("
+            depth -= ch == ")"
+            if ch == "," and depth == 0:
+                split = i
+                break
+        if split is not None:
+            return T.MapType(_parse_type(inner[:split]),
+                             _parse_type(inner[split + 1:]))
     raise NotImplementedError(f"type {name}")

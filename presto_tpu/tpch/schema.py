@@ -144,6 +144,37 @@ PRIMARY_KEYS = {
 }
 
 
+def value_range(column: str, sf: float):
+    """(lo, hi) value bounds for range-selectivity estimation, in the
+    engine's physical units (dates = epoch days, decimals = unscaled ints).
+    The reference bundles exactly these bounds per column in
+    ``plugin/trino-tpch/src/main/resources/tpch/statistics/sf1.0/*.json``
+    (min/max per column); here they follow from the dbgen spec.  Returns
+    None when unknown."""
+    if column.endswith("date"):
+        # dbgen date window 1992-01-01 .. 1998-12-31 (epoch days); receipt/
+        # ship dates extend slightly past orderdate but the window is the
+        # right scale for range selectivity
+        return (8035, 10591)
+    if column == "l_quantity":
+        return (100, 5000)              # 1.00 .. 50.00 unscaled cents
+    if column == "l_discount":
+        return (0, 10)                  # 0.00 .. 0.10 at scale 2
+    if column == "l_tax":
+        return (0, 8)
+    if column == "p_size":
+        return (1, 50)
+    if column == "o_totalprice":
+        return (90000, 55500000)
+    if column == "l_extendedprice":
+        return (90000, 10500000)
+    if column.endswith("regionkey"):
+        return (0, 4)
+    if column.endswith("nationkey"):
+        return (0, 24)
+    return None
+
+
 def ndv_estimate(table: str, column: str, sf: float) -> int:
     """Rough distinct-count estimates for capacity hints (the CBO-stat role
     of the bundled ground-truth stats in
@@ -169,4 +200,25 @@ def ndv_estimate(table: str, column: str, sf: float) -> int:
         return 3
     if column in ("l_quantity", "p_size"):
         return 50
+    # dbgen categorical distributions (dists.dss cardinalities)
+    if column == "c_mktsegment":
+        return 5
+    if column == "o_orderpriority":
+        return 5
+    if column == "l_shipmode":
+        return 7
+    if column == "l_shipinstruct":
+        return 4
+    if column == "p_brand":
+        return 25
+    if column == "p_container":
+        return 40
+    if column == "p_type":
+        return 150
+    if column == "p_mfgr":
+        return 5
+    if column in ("n_name",):
+        return 25
+    if column in ("r_name",):
+        return 5
     return max(min(rows, 3000), 1)
