@@ -244,6 +244,16 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
 
     if isinstance(expr, ir.Substring):
         col = eval_expr(expr.arg, chunk)
+        if col.kind == DICT:
+            # static bounds: substring maps over the (tiny) dictionary,
+            # re-uniqued because it can collapse distinct entries
+            start, size = expr.start, expr.size
+            end = None if size is None else start - 1 + size
+
+            def f(s, _a=start - 1, _b=end):
+                return s[_a:_b]
+
+            return _string_transform(col, f, expr.dtype)
         assert col.kind == BYTES, "substring of dict column not yet lowered"
         v, l = S.substring(col.values, col.lengths, expr.start, expr.size)
         return DCol(expr.dtype, BYTES, v, l, col.validity)

@@ -114,8 +114,11 @@ class PhysHashJoin(PhysOp):
     build: PhysOp
     probe_keys: Tuple[ir.Expr, ...]
     build_keys: Tuple[ir.Expr, ...]
-    kind: str = "inner"             # inner | left | semi | anti
+    kind: str = "inner"             # inner | left | semi | anti | mark
     unique_build: bool = True       # build keys unique (PK side)
+    # kind == "mark": existence bit emitted as this boolean output column
+    # instead of filtering (reference: SemiJoinNode's semiJoinOutput)
+    mark_name: str = ""
     build_payload: Tuple[Tuple[str, str], ...] = ()  # (out_name, build_col)
     filter: Optional[ir.Expr] = None  # non-equi residual over probe+payload
     build_est: float = -1.0         # planner's build-side row estimate (CBO)
@@ -213,6 +216,25 @@ class PhysConcat(PhysOp):
 
 
 @dataclass
+class PhysGroupId(PhysOp):
+    """GROUPING SETS row expansion (reference:
+    ``operator/GroupIdOperator.java``): each input row replicates once per
+    grouping set; grouping-set key columns are NULLed where the set does
+    not contain them; ``gid_name`` carries the set ordinal.  ONE scan of
+    the input feeds every grouping set (the round-3 plan-level
+    flatten+UNION re-scanned the input per set).  TPU shape: a static
+    N×S tile + per-copy validity masks — no per-row loop."""
+
+    child: PhysOp
+    keys: Tuple[Tuple[str, ir.Expr], ...]   # (out_name, key expr)
+    sets: Tuple[Tuple[bool, ...], ...]      # per set: key participation
+    gid_name: str = "$groupid"
+
+    def children(self):
+        return (self.child,)
+
+
+@dataclass
 class PhysUnnest(PhysOp):
     """Lateral array/map expansion (reference:
     ``operator/unnest/UnnestOperator.java:47``).  TPU shape: the output is
@@ -262,7 +284,9 @@ def _compact_kernel(chunk: Chunk, bucket: int) -> Chunk:
 
 
 def _key_arrays(chunk: Chunk, exprs: Sequence[ir.Expr]) -> List[jnp.ndarray]:
-    """Normalize key expressions into int64 arrays for hashing/sorting."""
+    """Normalize key expressions into int64 arrays for hashing/sorting
+    (join-equality semantics: validity does NOT participate — NULL join
+    keys are handled by the callers' masks)."""
     out: List[jnp.ndarray] = []
     for e in exprs:
         c = eval_expr(e, chunk)
@@ -272,6 +296,38 @@ def _key_arrays(chunk: Chunk, exprs: Sequence[ir.Expr]) -> List[jnp.ndarray]:
             out.extend(I128.unpack(c.values))
         else:
             out.append(c.values.astype(jnp.int64))
+    return out
+
+
+def _group_key_arrays(chunk: Chunk,
+                      exprs: Sequence[ir.Expr]) -> List[jnp.ndarray]:
+    """Key arrays with SQL GROUP BY null semantics: a nullable key
+    contributes its validity bit as an extra key array and zeroes the
+    value where invalid, so all NULLs form ONE group distinct from every
+    real value (reference ``MultiChannelGroupByHash`` hashes the null
+    flag into the group; GROUPING SETS NULLed key copies depend on it)."""
+    out: List[jnp.ndarray] = []
+    for e in exprs:
+        c = eval_expr(e, chunk)
+        nullable = c.validity is not None
+        if nullable:
+            out.append(c.validity.astype(jnp.int64))
+
+        def nz(a, c=c, nullable=nullable):
+            if not nullable:
+                return a
+            v = c.validity
+            while v.ndim < a.ndim:
+                v = v[:, None]
+            return jnp.where(v, a, 0)
+
+        if c.kind == BYTES:
+            out.extend(nz(p) for p in
+                       SORT.bytes_sort_keys(c.values, c.lengths))
+        elif c.values.ndim == 2:  # long decimal: both words key
+            out.extend(nz(p) for p in I128.unpack(c.values))
+        else:
+            out.append(nz(c.values.astype(jnp.int64)))
     return out
 
 
@@ -320,7 +376,7 @@ def _insert_kernel(chunk: Chunk, exprs, capacity: int):
     direct = _direct_group_ids(chunk, exprs, capacity)
     if direct is not None:
         return direct
-    keys = _key_arrays(chunk, exprs)
+    keys = _group_key_arrays(chunk, exprs)
     return HT.insert(keys, chunk.mask, capacity)
 
 
@@ -427,7 +483,30 @@ def _execute_node(plan: PhysOp, ctx: ExecContext) -> Chunk:
         return concat_chunks([execute(c, ctx) for c in plan.inputs])
     if isinstance(plan, PhysUnnest):
         return _exec_unnest(plan, ctx)
+    if isinstance(plan, PhysGroupId):
+        return _groupid_kernel(execute(plan.child, ctx), plan.keys,
+                               plan.sets, plan.gid_name)
     raise NotImplementedError(type(plan).__name__)
+
+
+@partial(jax.jit, static_argnames=("keys", "sets", "gid_name"))
+def _groupid_kernel(chunk: Chunk, keys, sets, gid_name) -> Chunk:
+    """Row expansion for GROUPING SETS: output row ``r*S + j`` is input
+    row ``r`` under grouping set ``j`` (static tile, no data-dependent
+    shapes).  Key column copies get validity &= participation[j]."""
+    n = chunk.n_rows
+    s = len(sets)
+    rep = jnp.repeat(jnp.arange(n), s)            # [n*s] input row ids
+    setid = jnp.tile(jnp.arange(s), n)            # [n*s] grouping set ids
+    cols = {name: c.take(rep) for name, c in chunk.cols.items()}
+    for ki, (out_name, e) in enumerate(keys):
+        kc = eval_expr(e, chunk).take(rep)
+        part = jnp.asarray([bool(st[ki]) for st in sets])[setid]
+        v = part if kc.validity is None else (kc.validity & part)
+        cols[out_name] = DCol(kc.dtype, kc.kind, kc.values, kc.lengths,
+                              v, kc.dictionary, kc.values2, kc.dictionary2)
+    cols[gid_name] = DCol(T.BIGINT, PLAIN, setid.astype(jnp.int64))
+    return Chunk(cols, chunk.mask[rep])
 
 
 @partial(jax.jit, static_argnames=("exprs", "names", "ordinality"))
@@ -699,6 +778,10 @@ def _window_norm_keys(chunk: Chunk, exprs, descs=None):
             rank = np.argsort(np.argsort(
                 [str(s) for s in c.dictionary.strings]))
             out.append((jnp.asarray(rank)[c.values].astype(jnp.int64), desc))
+        elif c.values.ndim == 2 and T.is_long_decimal(c.dtype):
+            # int128 (hi, lo) word pairs sort as two chained int64 keys
+            for p in I128.sort_keys(*I128.unpack(c.values)):
+                out.append((p, desc))
         else:
             out.append((c.values.astype(jnp.int64), desc))
     return out
@@ -1159,7 +1242,7 @@ def _exec_agg_partitioned(plan: PhysHashAggregate, child: Chunk,
     ``MergeHashSort``), with the merge designed away."""
     from ..ops.hashing import hash_keys
     bits = max(k.bit_length() - 1, 1)
-    gh = hash_keys(_key_arrays(child, tuple(e for _, e in plan.groups)))
+    gh = hash_keys(_group_key_arrays(child, tuple(e for _, e in plan.groups)))
     part = (gh >> jnp.uint32(32 - bits)).astype(jnp.int32)
     ctx.spill_partitions += k
     outs = []
@@ -1626,6 +1709,8 @@ def _join_core(plan: PhysHashJoin, probe: Chunk, build: Chunk,
     table = _build_kernel(build, plan.build_keys, capacity)
     probe = _dynamic_filter(plan, probe, build, ctx)
 
+    if plan.kind == "mark":
+        return _join_mark(plan, probe, table)
     fast_unique = plan.unique_build and plan.filter is None
     if fast_unique and plan.kind in ("inner", "left", "semi", "anti"):
         return _join_unique(plan, probe, build, table, ctx)
@@ -1741,6 +1826,22 @@ def _join_unique_kernel(table, probe: Chunk, build: Chunk,
         cols[out_name] = build.cols[bcol].take(match, valid=found)
     mask = probe.mask & found if kind == "inner" else probe.mask
     return Chunk(cols, mask)
+
+
+@partial(jax.jit, static_argnames=("probe_keys", "mark_name"))
+def _join_mark_kernel(table, probe: Chunk, probe_keys,
+                      mark_name) -> Chunk:
+    slot, _ = _probe_counts_kernel(table, probe, probe_keys)
+    cols = dict(probe.cols)
+    cols[mark_name] = DCol(T.BOOLEAN, PLAIN, slot >= 0)
+    return Chunk(cols, probe.mask)
+
+
+def _join_mark(plan, probe, table) -> Chunk:
+    """MARK semi-join: keep every probe row, append the existence bit as
+    a boolean column (consumed by OR-composed predicates)."""
+    return _join_mark_kernel(table, probe, plan.probe_keys,
+                             plan.mark_name)
 
 
 def _join_unique(plan, probe, build, table, ctx) -> Chunk:

@@ -312,6 +312,10 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
             return PH._exec_limit(child, plan.n), rep or ctx.single
         # LIMIT without gathering the child: global mask-rank cutoff
         return sharded_limit(child, plan.n), False
+    if isinstance(plan, PH.PhysMaterial):
+        # pre-executed fragment output fed back in (EXPLAIN ANALYZE
+        # fragment attribution, streaming residual plans)
+        return plan.chunk, True
     if isinstance(plan, PH.PhysConcat):
         parts = [execute_traced(c, ctx) for c in plan.inputs]
         reps = {r for _, r in parts}
@@ -337,6 +341,10 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
         # no partition keys: one global ordering — gather, same kernel
         gathered = child if rep else ctx.gather(child)
         return PH._window_traced(gathered, plan), True
+    if isinstance(plan, PH.PhysGroupId):
+        child, rep = execute_traced(plan.child, ctx)
+        return PH._groupid_kernel(child, plan.keys, plan.sets,
+                                  plan.gid_name), rep
     if isinstance(plan, PH.PhysScalarBind):
         child, rep = execute_traced(plan.child, ctx)
         cols = dict(child.cols)
@@ -502,6 +510,9 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
                                       plan.probe_keys,
                                       plan.build_payload,
                                       plan.kind), orep
+    if plan.kind == "mark":
+        return PH._join_mark_kernel(table, probe, plan.probe_keys,
+                                    plan.mark_name), orep
     if plan.kind in ("semi", "anti"):
         if plan.filter is None:
             slot = PH._probe_counts_kernel(table, probe, plan.probe_keys)[0]
@@ -902,7 +913,7 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
         # FIXED_HASH aggregation: repartition rows by group-key hash so each
         # group lands wholly on one device, aggregate locally (including
         # distinct dedup / order statistics); output stays sharded
-        gkeys = PH._key_arrays(child, tuple(e for _, e in plan.groups))
+        gkeys = PH._group_key_arrays(child, tuple(e for _, e in plan.groups))
         routed, r_ovf = repartition(
             child, gkeys,
             slack=2 * ctx.exchange_slack * ctx.site_mult(key_node, "route"))
@@ -936,7 +947,8 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
     # total real partials ≈ ndv × (devices sharing a group); assume ~2 and
     # let the per-site overflow retry absorb under-estimates
     rmult = ctx.site_mult(key_node, "route")
-    routed, x_ovf = repartition(partial, PH._key_arrays(partial, gkeys),
+    routed, x_ovf = repartition(partial,
+                                PH._group_key_arrays(partial, gkeys),
                                 slack=ctx.exchange_slack * rmult,
                                 est_total_rows=plan.ndv_hint * 2 * rmult)
     ctx.report_overflow(key_node, "route", x_ovf)

@@ -161,34 +161,51 @@ class Planner:
         return self.plan_select(q, outer)
 
     def plan_grouping_sets(self, q: ast.Select, outer) -> Rel:
-        """GROUPING SETS / ROLLUP / CUBE → UNION ALL of per-set aggregations
-        with grouped-out keys projected as typed NULLs (the reference lowers
-        through GroupIdOperator row expansion; we expand at plan level)."""
+        """GROUPING SETS / ROLLUP / CUBE via a native GroupId expansion:
+        the input plans ONCE, each row replicates per grouping set with
+        non-participating keys NULLed, and a single aggregation keyed on
+        (set ordinal, keys) produces every set's groups (reference:
+        ``operator/GroupIdOperator.java`` + ``QueryPlanner`` grouping-set
+        lowering; the round-3 UNION-per-set rewrite re-scanned the input
+        once per set)."""
         gs = q.group_by[0]
         assert len(q.group_by) == 1, "grouping sets mixed with plain keys"
-        arms = []
-        for keys in gs.sets:
-            keyset = list(keys)
-            items = []
-            for it in q.items:
-                e = it.expr
-                grouped_out = (
-                    any(e == full for full in _flatten_sets(gs))
-                    and not any(e == k for k in keyset))
-                items.append(ast.SelectItem(
-                    ast.TypedNull(e) if grouped_out else e, it.alias))
-            arms.append(ast.Select(items, q.from_, q.where, keyset,
-                                   q.having, [], None, False, q.with_ctes))
-        node = arms[0]
-        for arm in arms[1:]:
-            node = ast.SetOp(node, arm, "union", True)
-        if isinstance(node, ast.Select):
-            node = ast.SetOp(node, node, "union", True)  # degenerate: 1 set
-        node.order_by = q.order_by
-        node.limit = q.limit
-        if len(arms) == 1:
-            return self.plan_select(arms[0], outer)
-        return self.plan_setop(node, outer)
+        cur = self._plan_from_where(q, outer)
+
+        all_keys = _flatten_sets(gs)
+        key_irs = [self.resolve(k, cur.scope, outer) for k in all_keys]
+        sets = tuple(tuple(any(k == m for m in keyset) for k in all_keys)
+                     for keyset in gs.sets)
+        gid = self.fresh("groupid")
+        keys = []
+        self._pre_group_aliases = {}
+        for ke in key_irs:
+            name = self.fresh("gkey")
+            keys.append((name, ke))
+            self._pre_group_aliases[ke] = (name, ke.dtype)
+            cur.scope.add(None, name, name, ke.dtype)
+            cur.columns.add(name)
+        cur.plan = P.PhysGroupId(cur.plan, tuple(keys), sets, gid)
+        cur.scope.add(None, gid, gid, T.BIGINT)
+        cur.columns.add(gid)
+        cur.est = cur.est * len(sets)
+        # grouping() resolution context: (gid column, original key IRs,
+        # per-set participation)
+        self._grouping_ctx = (gid, key_irs, sets)
+
+        q2 = ast.Select(q.items, q.from_, None,
+                        [ast.Ident((gid,))] +
+                        [ast.Ident((n,)) for n, _ in keys],
+                        q.having, q.order_by, q.limit, q.distinct,
+                        q.with_ctes)
+        try:
+            out = self._plan_select_rest(cur, q2, outer)
+        finally:
+            self._pre_group_aliases = {}
+            self._grouping_ctx = None
+        # drop the internal gid column from the outputs (it is a group
+        # key, so step 6 projected it only if an item referenced it)
+        return out
 
     def plan_setop(self, q: ast.SetOp, outer) -> Rel:
         """UNION [ALL] / INTERSECT / EXCEPT (reference: UnionNode +
@@ -547,12 +564,26 @@ class Planner:
                 for c, v in node.whens)
             default = (self._resolve(node.default, scope, outer)
                        if node.default is not None else None)
-            dtypes = [v.dtype for _, v in whens]
-            if default is not None:
-                dtypes.append(default.dtype)
-            rt = dtypes[0]
-            for d in dtypes[1:]:
-                rt = T.common_super_type(rt, d)
+            # bare NULL branches adopt the type of the non-null branches
+            # (SQL: NULL is untyped until coerced)
+            branch_vals = [v for _, v in whens] + (
+                [default] if default is not None else [])
+            typed = [v.dtype for v in branch_vals
+                     if not (isinstance(v, ir.Literal) and v.value is None)]
+            if typed:
+                rt = typed[0]
+                for d in typed[1:]:
+                    rt = T.common_super_type(rt, d)
+                retype = {id(v) for v in branch_vals
+                          if isinstance(v, ir.Literal) and v.value is None}
+                if retype:
+                    whens = tuple(
+                        (c, ir.Literal(None, rt) if id(v) in retype else v)
+                        for c, v in whens)
+                    if default is not None and id(default) in retype:
+                        default = ir.Literal(None, rt)
+            else:
+                rt = branch_vals[0].dtype
             return ir.Case(whens, default, rt)
         if isinstance(node, ast.ExtractExpr):
             assert node.what == "year", f"extract({node.what})"
@@ -747,7 +778,11 @@ class Planner:
             self._restore_agg_state(saved_agg)
         return rel
 
-    def _plan_select_body(self, q: ast.Select, outer: Optional[Scope]) -> Rel:
+    def _plan_from_where(self, q: ast.Select, outer: Optional[Scope]) -> Rel:
+        """Steps 1–4 of SELECT planning: FROM relations, WHERE split,
+        join tree, outer joins, subquery conjuncts.  Shared by the plain
+        SELECT path and the GROUPING SETS path (which must plan the body
+        ONCE and expand it through PhysGroupId)."""
         # 1. FROM → base relations (+ structured outer joins)
         rels: List[Rel] = []
         left_specs: List[Tuple[int, Rel, List[ast.Node]]] = []
@@ -832,20 +867,34 @@ class Planner:
         # 4. subquery conjuncts
         for c in subq_ast:
             cur = self.apply_subquery_conjunct(cur, c, outer)
+        return cur
 
-        # 4b. window functions (after joins/filters, before aggregation;
-        # reference: WindowOperator planning in LocalExecutionPlanner)
-        cur = self.apply_windows(cur, q, outer)
+    def _plan_select_body(self, q: ast.Select, outer: Optional[Scope]) -> Rel:
+        cur = self._plan_from_where(q, outer)
+        return self._plan_select_rest(cur, q, outer)
+
+    def _plan_select_rest(self, cur: Rel, q: ast.Select,
+                          outer: Optional[Scope]) -> Rel:
+        # 5 (precheck). aggregation presence decides WHERE windows plan:
+        # SQL evaluates window functions over the AGGREGATED rows
+        # (reference: QueryPlanner plans window() after aggregate()), so
+        # with GROUP BY the window pass runs after step 5 below
+        has_aggs = any(self._ast_has_agg(it.expr) for it in q.items) \
+            or (q.having is not None) or bool(q.group_by)
+
+        # 4b. window functions (after joins/filters, before aggregation
+        # when there is none; reference: WindowOperator planning in
+        # LocalExecutionPlanner)
+        if not has_aggs:
+            cur = self.apply_windows(cur, q, outer)
 
         # 4c. scalar subqueries in the SELECT list → broadcast bindings
         cur = self.apply_select_scalars(cur, q)
 
-        # 5. aggregation
-        has_aggs = any(self._ast_has_agg(it.expr) for it in q.items) \
-            or (q.having is not None) or bool(q.group_by)
-
         if has_aggs:
             cur, post_scope = self.apply_aggregation(cur, q, outer)
+            cur = self.apply_windows(cur, q, outer, post_agg=True,
+                                     post_scope=post_scope)
         else:
             post_scope = cur.scope
 
@@ -909,6 +958,15 @@ class Planner:
                 for h in hidden:
                     hit = src_scope.resolve((h,))
                     if hit is None:
+                        # h is already a PHYSICAL column id (e.g. an
+                        # aliased-subquery output referenced only in
+                        # ORDER BY): find the entry carrying it
+                        for (_, _nm), (phys, dt) in \
+                                src_scope.entries.items():
+                            if phys == h:
+                                hit = (phys, dt)
+                                break
+                    if hit is None:
                         raise KeyError(f"order key column {h}")
                     extra.append((h, ir.ColumnRef(hit[0], hit[1])))
                 proj2 = P.PhysProject(cur.plan, tuple(items) + tuple(extra))
@@ -961,7 +1019,8 @@ class Planner:
                 if isinstance(a, ast.Node):
                     Planner._collect_windows(a, out)
 
-    def apply_windows(self, cur: Rel, q: ast.Select, outer) -> Rel:
+    def apply_windows(self, cur: Rel, q: ast.Select, outer,
+                      post_agg: bool = False, post_scope=None) -> Rel:
         wins: List[ast.WindowExpr] = []
         for it in q.items:
             if not isinstance(it.expr, ast.Star):
@@ -970,23 +1029,29 @@ class Planner:
             self._collect_windows(oi.expr, wins)
         if not wins:
             return cur
-        if q.group_by or q.having is not None or any(
-                self._ast_has_agg(it.expr) and not isinstance(
-                    it.expr, ast.Star)
-                for it in q.items):
-            # SQL evaluates window functions AFTER aggregation; this engine
-            # plans them before it, which would silently compute windows
-            # over pre-aggregation rows — refuse rather than be wrong.
-            raise NotImplementedError(
-                "window functions combined with GROUP BY/aggregates in one "
-                "SELECT are not supported yet")
+
+        if post_agg:
+            # window over the aggregation output: args/partition/order
+            # resolve against the post-agg scope (group keys + $agg
+            # columns); the PhysWindow node sits above the aggregate
+            def res(e):
+                return self.resolve_post_agg(e, post_scope)
+
+            def scope_add(name, dtype):
+                post_scope.add(None, name, name, dtype)
+                cur.scope.add(None, name, name, dtype)
+        else:
+            def res(e):
+                return self.resolve(e, cur.scope, outer)
+
+            def scope_add(name, dtype):
+                cur.scope.add(None, name, name, dtype)
+
         self._window_map = {}
         by_spec: Dict[tuple, List[ast.WindowExpr]] = {}
         for w in wins:
-            pkey = tuple(self.resolve(p, cur.scope, outer)
-                         for p in w.partition_by)
-            okey = tuple((self.resolve(o.expr, cur.scope, outer),
-                          o.descending) for o in w.order_by)
+            pkey = tuple(res(p) for p in w.partition_by)
+            okey = tuple((res(o.expr), o.descending) for o in w.order_by)
             by_spec.setdefault((pkey, okey), []).append(w)
         for (pkey, okey), ws in by_spec.items():
             specs = []
@@ -995,9 +1060,9 @@ class Planner:
                 arg = None
                 offset = 1
                 if fname in ("lead", "lag"):
-                    arg = self.resolve(w.func.args[0], cur.scope, outer)
+                    arg = res(w.func.args[0])
                     if len(w.func.args) > 1:
-                        off = self.resolve(w.func.args[1], cur.scope, outer)
+                        off = res(w.func.args[1])
                         assert isinstance(off, ir.Literal)
                         offset = int(off.value)
                     dtype = arg.dtype
@@ -1007,7 +1072,7 @@ class Planner:
                     dtype = T.BIGINT
                 elif fname in ("sum", "count", "min", "max", "avg",
                                "first_value"):
-                    arg = self.resolve(w.func.args[0], cur.scope, outer)
+                    arg = res(w.func.args[0])
                     if fname == "count":
                         dtype = T.BIGINT
                     elif fname == "sum":
@@ -1020,14 +1085,14 @@ class Planner:
                 elif fname in ("percent_rank", "cume_dist"):
                     dtype = T.DOUBLE
                 elif fname == "ntile":
-                    nlit = self.resolve(w.func.args[0], cur.scope, outer)
+                    nlit = res(w.func.args[0])
                     assert isinstance(nlit, ir.Literal)
                     offset = int(nlit.value)
                     dtype = T.BIGINT
                 elif fname in ("last_value", "nth_value"):
-                    arg = self.resolve(w.func.args[0], cur.scope, outer)
+                    arg = res(w.func.args[0])
                     if fname == "nth_value":
-                        klit = self.resolve(w.func.args[1], cur.scope, outer)
+                        klit = res(w.func.args[1])
                         assert isinstance(klit, ir.Literal)
                         offset = int(klit.value)
                     dtype = arg.dtype
@@ -1041,7 +1106,7 @@ class Planner:
                 specs.append(P.WindowSpec(name, fname, arg, offset, frame,
                                           ignore_nulls=w.ignore_nulls))
                 self._window_map[id(w)] = ir.ColumnRef(name, dtype)
-                cur.scope.add(None, name, name, dtype)
+                scope_add(name, dtype)
                 cur.columns.add(name)
             cur.plan = P.PhysWindow(cur.plan, pkey, okey, tuple(specs))
         return cur
@@ -1125,6 +1190,10 @@ class Planner:
         self._agg_map: Dict[Tuple, str] = {}
         self._cur_scope = scope
         self._cur_outer = outer
+        # GROUPING SETS pre-registers original-key-expr → GroupId key
+        # column aliases so select items spelling the original key
+        # resolve to the NULLed per-set copy
+        group_map.update(getattr(self, "_pre_group_aliases", {}))
         self._group_map = group_map
 
         # pre-resolve select/having/order to collect aggregates
@@ -1238,9 +1307,47 @@ class Planner:
         return ir.ColumnRef(name, self._post_scope.resolve((name,))[1])
 
     def resolve_post_agg(self, node: ast.Node, post_scope: Scope) -> ir.Expr:
+        if isinstance(node, ast.WindowExpr):
+            wm = getattr(self, "_window_map", None)
+            if wm is not None and id(node) in wm:
+                return wm[id(node)]
+            # aggregate-collection phase (apply_aggregation pre-resolves
+            # select items BEFORE the post-agg window pass runs): register
+            # any aggregates inside the window spec, return a placeholder
+            # — the window pass maps this node before outputs resolve
+            for p in node.partition_by:
+                self.resolve_post_agg(p, post_scope)
+            for o in node.order_by:
+                self.resolve_post_agg(o.expr, post_scope)
+            for a in node.func.args:
+                if not isinstance(a, ast.Star):
+                    self.resolve_post_agg(a, post_scope)
+            return ir.Literal(0, T.BIGINT)
         if isinstance(node, ast.TypedNull):
             inner = self.resolve(node.of, self._cur_scope, self._cur_outer)
             return ir.Literal(None, inner.dtype)
+        if isinstance(node, ast.FuncCall) and node.name == "grouping":
+            # grouping(e1..ek): bitmask with bit i set when e_i is NOT in
+            # the current row's grouping set (reference:
+            # ``io.trino.operator.scalar.GroupingOperationFunction``);
+            # decodes statically from the GroupId ordinal column
+            ctx = getattr(self, "_grouping_ctx", None)
+            assert ctx is not None, "grouping() outside GROUPING SETS"
+            gid, key_irs, sets = ctx
+            arg_irs = [self.resolve(a, self._cur_scope, self._cur_outer)
+                       for a in node.args]
+            idxs = [key_irs.index(a) for a in arg_irs]
+            gid_ref = ir.ColumnRef(gid, T.BIGINT)
+            whens = []
+            for j, st in enumerate(sets):
+                mask = 0
+                for bit, ki in enumerate(idxs):
+                    if not st[ki]:
+                        mask |= 1 << (len(idxs) - 1 - bit)
+                whens.append((
+                    ir.Compare("=", gid_ref, ir.Literal(j, T.BIGINT)),
+                    ir.Literal(mask, T.BIGINT)))
+            return ir.Case(tuple(whens), ir.Literal(0, T.BIGINT), T.BIGINT)
         if isinstance(node, ast.FuncCall) and node.name in AGG_FUNCS:
             return self._agg_ref(node)
         # the whole expression may be a GROUP BY expression (e.g. grouping
@@ -1640,8 +1747,75 @@ class Planner:
                 rel = self._apply_scalar_compare(
                     cur, other, op, sub_side.query, negated, outer, post_agg)
                 return rel
-        raise NotImplementedError(
-            f"subquery conjunct shape {type(node).__name__}")
+        # subquery under OR / mixed boolean shape: rewrite each
+        # uncorrelated IN/EXISTS arm into a MARK semi-join column
+        # (reference: SemiJoinNode's output symbol consumed by a filter,
+        # ``sql/planner/QueryPlanner`` subquery planning), then filter on
+        # the composed predicate
+        cur, new_node = self._mark_subqueries(cur, c)
+        pred = (self.resolve_post_agg(new_node, cur.scope) if post_agg
+                else self.resolve(new_node, cur.scope, outer))
+        cur.plan = P.PhysFilter(cur.plan, pred)
+        return cur
+
+    def _mark_subqueries(self, cur: Rel, node):
+        """Replace uncorrelated InSubquery/Exists nodes anywhere in a
+        boolean expression with references to mark-join output columns."""
+        if isinstance(node, ast.InSubquery):
+            cur, name = self._mark_in(cur, node)
+            e: ast.Node = ast.Ident((name,))
+            if node.negated:
+                e = ast.UnaryOp("not", e)
+            return cur, e
+        if isinstance(node, ast.ExistsExpr):
+            cur, name = self._mark_exists(cur, node.query)
+            e = ast.Ident((name,))
+            if node.negated:
+                e = ast.UnaryOp("not", e)
+            return cur, e
+        if isinstance(node, ast.BinaryOp):
+            cur, left = self._mark_subqueries(cur, node.left)
+            cur, right = self._mark_subqueries(cur, node.right)
+            return cur, ast.BinaryOp(node.op, left, right)
+        if isinstance(node, ast.UnaryOp):
+            cur, arg = self._mark_subqueries(cur, node.arg)
+            return cur, ast.UnaryOp(node.op, arg)
+        return cur, node
+
+    def _mark_in(self, cur: Rel, node: ast.InSubquery):
+        arg = self.resolve(node.arg, cur.scope, None)
+        sub = self.plan_select(node.query, outer=None)
+        out_names = list(sub.columns)
+        assert len(out_names) == 1, "IN subquery must produce one column"
+        (out_name,) = out_names
+        dtype = sub.scope.resolve((out_name,))[1]
+        mark = self.fresh("mark")
+        plan = P.PhysHashJoin(
+            cur.plan, sub.plan, (arg,),
+            (ir.ColumnRef(out_name, dtype),), kind="mark",
+            unique_build=False, mark_name=mark,
+            build_est=sub.est, probe_est=cur.est,
+            build_cap_est=max(sub.base, sub.est))
+        scope = cur.scope.merged(Scope())
+        scope.add(None, mark, mark, T.BOOLEAN)
+        return Rel(plan, scope, cur.columns | {mark}, cur.unique_keys,
+                   cur.est), mark
+
+    def _mark_exists(self, cur: Rel, q: ast.Select):
+        """Uncorrelated EXISTS as a mark: constant-key join against the
+        subquery's (limited) row set."""
+        sub = self.plan_select(q, outer=None)
+        one = ir.Literal(1, T.BIGINT)
+        mark = self.fresh("mark")
+        plan = P.PhysHashJoin(
+            cur.plan, sub.plan, (one,), (one,), kind="mark",
+            unique_build=False, mark_name=mark,
+            build_est=sub.est, probe_est=cur.est,
+            build_cap_est=max(sub.base, sub.est))
+        scope = cur.scope.merged(Scope())
+        scope.add(None, mark, mark, T.BOOLEAN)
+        return Rel(plan, scope, cur.columns | {mark}, cur.unique_keys,
+                   cur.est), mark
 
     def _subquery_correlation(self, q: ast.Select, cur_scope: Scope):
         """Plan a subquery's FROM + split conjuncts by correlation."""

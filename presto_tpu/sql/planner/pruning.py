@@ -100,6 +100,13 @@ def prune(plan: P.PhysOp, required: Optional[Set[str]] = None) -> P.PhysOp:
         # children(), so child_req already contains navigation sources
         prune(plan.child, child_req or None)
         return plan
+    if isinstance(plan, P.PhysGroupId):
+        produced = {n for n, _ in plan.keys} | {plan.gid_name}
+        child_req = None if required is None else (
+            (set(required) - produced)
+            | _refs(*(e for _, e in plan.keys)))
+        prune(plan.child, child_req)
+        return plan
     if isinstance(plan, P.PhysUnnest):
         produced = {n for outs in plan.names for n in outs}
         if plan.ordinality:

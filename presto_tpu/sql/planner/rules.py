@@ -363,6 +363,7 @@ _CHILD_FIELDS = {
     P.PhysLimit: ("child",),
     P.PhysWindow: ("child",),
     P.PhysUnnest: ("child",),
+    P.PhysGroupId: ("child",),
     P.PhysHashJoin: ("probe", "build"),
 }
 

@@ -210,6 +210,28 @@ def _return_money(cols, prefix, ids, base_salt, amt_name="return_amt",
     cols[f"{prefix}net_loss"] = _dec(fee + ship + amt // 10)
 
 
+def _fact_item(row_ids, lines, items, salt):
+    """Item sk with DISTINCT items inside one ticket/order (dsdgen
+    permutes items per order, making (item, ticket) a real key)."""
+    ticket = row_ids // np.uint64(lines)
+    line = (row_ids % np.uint64(lines)).astype(np.int64)
+    base = _uni(ticket, salt, 0, items - 1)
+    return ((base + line) % items + 1).astype(np.int64)
+
+
+def _return_pids(n_ret, n_parent):
+    """Distinct parent-row ids for a returns table (sampling WITHOUT
+    replacement keeps (item, ticket) unique in returns too — the engine
+    plans unique-build joins on the declared keys).  Fixed-seed
+    permutation = deterministic per (n_ret, n_parent)."""
+    rng = np.random.default_rng(0x5EED + n_parent)
+    k = min(n_ret, n_parent)
+    pid = np.sort(rng.permutation(n_parent)[:k])
+    if n_ret > n_parent:          # degenerate tiny-SF case: wrap
+        pid = np.concatenate([pid, pid[: n_ret - n_parent]])
+    return pid.astype(np.uint64)
+
+
 def generate(table: str, sf: float) -> Table:
     n = S.row_count(table, sf)
     ids = np.arange(n, dtype=np.uint64)
@@ -577,7 +599,10 @@ def generate(table: str, sf: float) -> Table:
             cols[f"{p}ship_date_sk"] = Column(
                 T.BIGINT, np.asarray(cols[f"{p}sold_date_sk"].values)
                 + _uni(ids, 67, 1, 120))
-        fk(f"{p}item_sk", 53, "item")
+        n_items = S.row_count("item", sf)
+        lines = 3 if table == "store_sales" else 4
+        cols[f"{p}item_sk"] = Column(T.BIGINT,
+                                     _fact_item(ids, lines, n_items, 53))
         if table == "store_sales":
             fk("ss_customer_sk", 66, "customer")
             cols["ss_cdemo_sk"] = Column(
@@ -625,7 +650,7 @@ def generate(table: str, sf: float) -> Table:
         # each return references a deterministic parent sale row: item_sk
         # and ticket/order number recompute the parent's value-functions
         # at the sampled parent id (spec: returns join back to sales)
-        pid = (_mix(ids, 90) % np.uint64(np_))
+        pid = _return_pids(n, np_)
         sold = _uni(pid, 51, LO_SK, HI_SK)
         cols[f"{p}returned_date_sk" if p != "sr_"
              else "sr_returned_date_sk"] = Column(
@@ -637,7 +662,9 @@ def generate(table: str, sf: float) -> Table:
             cols[f"{p}returned_time_sk"] = Column(
                 T.BIGINT, _uni(ids, 92, 28800, 75600))
         items = S.row_count("item", sf)
-        cols[f"{p}item_sk"] = Column(T.BIGINT, _uni(pid, 53, 1, items))
+        plines = 3 if p == "sr_" else 4
+        cols[f"{p}item_sk"] = Column(T.BIGINT,
+                                     _fact_item(pid, plines, items, 53))
         ncust = S.row_count("customer", sf)
         naddr = S.row_count("customer_address", sf)
         if p == "sr_":

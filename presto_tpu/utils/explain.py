@@ -60,6 +60,11 @@ def _node_label(p: P.PhysOp) -> str:
         return ("Project[" + ", ".join(
             n if isinstance(e, ir.ColumnRef) and e.name == n
             else f"{n} := {_expr_str(e)}" for n, e in p.projections) + "]")
+    if isinstance(p, P.PhysGroupId):
+        sets = ", ".join(
+            "(" + ", ".join(n for (n, _), on in zip(p.keys, st) if on)
+            + ")" for st in p.sets)
+        return f"GroupId[{sets}] gid={p.gid_name}"
     if isinstance(p, P.PhysHashAggregate):
         aggs = ", ".join(
             f"{s.name} := {s.func}"
@@ -98,10 +103,16 @@ def explain(plan: P.PhysOp, stats: Optional[Dict[int, dict]] = None) -> str:
         note = ""
         if stats and id(p) in stats:
             s = stats[id(p)]
-            mb = s.get("bytes", 0) / 1e6
-            note = (f"   {{rows: {s.get('rows', '?')}, "
-                    f"wall: {s.get('wall_ms', 0):.1f}ms, "
-                    f"mem: {mb:.1f}MB}}")
+            if s.get("fragment"):
+                # fused-path attribution: this node headed one compiled
+                # fragment (device wall fenced by a readback)
+                note = (f"   {{fragment: {s.get('wall_ms', 0):.1f}ms, "
+                        f"rows: {s.get('rows', '?')}}}")
+            else:
+                mb = s.get("bytes", 0) / 1e6
+                note = (f"   {{rows: {s.get('rows', '?')}, "
+                        f"wall: {s.get('wall_ms', 0):.1f}ms, "
+                        f"mem: {mb:.1f}MB}}")
         lines.append("    " * depth + "- " + _node_label(p) + note)
         for c in p.children():
             walk(c, depth + 1)

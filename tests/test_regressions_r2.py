@@ -108,9 +108,12 @@ def test_left_join_residual_filter_agg(local, sqlite_db):
         repr((int(a), int(b))) for a, b in exp_rows)
 
 
-def test_window_with_group_by_raises(local):
-    with pytest.raises(NotImplementedError):
-        local.run_sql(
-            "select o_custkey, count(*), "
-            "rank() over (order by count(*) desc) r "
-            "from orders group by o_custkey")
+def test_window_with_group_by_works(local):
+    # round-3 refused this shape; round-4 plans windows AFTER aggregation
+    # (reference: QueryPlanner window-over-agg layering)
+    t = local.run_sql(
+        "select o_custkey, count(*) c, "
+        "rank() over (order by count(*) desc) r "
+        "from orders group by o_custkey order by r limit 5").to_pandas()
+    assert t.r.tolist()[0] == 1
+    assert list(t.c) == sorted(t.c, reverse=True)
