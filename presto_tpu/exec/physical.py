@@ -1180,8 +1180,13 @@ def _fvals(c: DCol) -> jnp.ndarray:
 
 
 def _agg_output_type(spec: AggSpec) -> T.DataType:
-    if spec.func in ("count", "count_star", "approx_distinct"):
+    if spec.func in ("count", "count_star", "approx_distinct",
+                     "checksum", "bitwise_and_agg", "bitwise_or_agg"):
         return T.BIGINT
+    if spec.func == "geometric_mean":
+        return T.DOUBLE
+    if spec.func in ("min_n", "max_n"):
+        return T.array(spec.arg.dtype)
     if spec.func in VARIANCE_FUNCS or spec.func in CORR_FUNCS:
         return T.DOUBLE
     if spec.func in ("bool_and", "bool_or"):
@@ -1342,6 +1347,75 @@ def _group_pack_kernel(vals, slot, pos, vmask, capacity, width):
     out = jnp.zeros((capacity, max(width, 1)), vals.dtype)
     return out.at[g, p].set(vals, mode="drop")[:, :width] if width else \
         jnp.zeros((capacity, 0), vals.dtype)
+
+
+def _agg_pack_traced(spec: AggSpec, chunk: Chunk, slot, capacity,
+                     gvalid, width: int):
+    """Traced twin of ``_agg_pack``: array_agg/map_agg/histogram with a
+    STATIC per-group width bound instead of the host-read max
+    cardinality.  Returns (DCol, overflow) — a group wider than ``width``
+    trips the flag and the host retry loop regrows it (the same shape
+    discipline as every other capacity in the traced engine)."""
+    c = _pack_scalarize(eval_expr(spec.arg, chunk))
+    ot = _agg_output_type(spec)
+    if spec.func == "histogram":
+        vmask = chunk.mask & (slot >= 0) & c.valid_or_true()
+        pair_keys = [slot.astype(jnp.int64)] + _key_arrays(
+            Chunk({"v": c}, vmask), (ir.ColumnRef("v", c.dtype),))
+        pair_cap = HT.next_pow2(2 * chunk.n_rows)
+        powner, pslot, _ = HT.insert(pair_keys, vmask, pair_cap)
+        pair_cnt = A.seg_count(pslot, vmask, pair_cap)
+        rep_valid = powner != HT.EMPTY
+        rep = jnp.minimum(powner, chunk.n_rows - 1)
+        rep_group = jnp.where(rep_valid, slot[rep], -1)
+        rep_val = c.values[rep]
+        pos, counts = _group_positions(rep_group, rep_valid, capacity)
+        ovf = (counts > width).any()
+        keys_m = _group_pack_kernel(rep_val, rep_group, pos, rep_valid,
+                                    capacity, width)
+        cnts_m = _group_pack_kernel(pair_cnt.astype(jnp.int64), rep_group,
+                                    pos, rep_valid, capacity, width)
+        return DCol(ot, COL_MAP, keys_m,
+                    jnp.minimum(counts, width).astype(jnp.int32),
+                    gvalid, c.dictionary, cnts_m), ovf
+    vmask = chunk.mask & (slot >= 0) & c.valid_or_true()
+    pos, counts = _group_positions(slot, vmask, capacity)
+    ovf = (counts > width).any()
+    vals_m = _group_pack_kernel(c.values, slot, pos, vmask, capacity,
+                                width)
+    if spec.func == "map_agg":
+        v2 = _pack_scalarize(eval_expr(spec.arg2, chunk))
+        vals2_m = _group_pack_kernel(v2.values, slot, pos, vmask,
+                                     capacity, width)
+        return DCol(ot, COL_MAP, vals_m,
+                    jnp.minimum(counts, width).astype(jnp.int32),
+                    gvalid, c.dictionary, vals2_m,
+                    dictionary2=v2.dictionary), ovf
+    return DCol(ot, COL_ARRAY, vals_m,
+                jnp.minimum(counts, width).astype(jnp.int32),
+                gvalid, c.dictionary), ovf
+
+
+def _pack_scalarize(col: DCol) -> DCol:
+    """BYTES strings → dictionary codes (eager host interning; raises
+    inside a trace — dictionary-encoded strings fuse, raw byte columns
+    stay on the op path)."""
+    if col.kind != BYTES:
+        return col
+    import jax.core as _jc
+    if isinstance(col.values, _jc.Tracer):
+        raise NotImplementedError(
+            "array_agg/map_agg over a raw byte column inside a fused "
+            "program (dictionary-encoded columns fuse)")
+    from ..data.column import strings_from_bytes
+    from .columns import Dictionary
+    strs = np.asarray(
+        strings_from_bytes(np.asarray(col.values),
+                           np.asarray(col.lengths)), dtype=object)
+    uniq, codes = np.unique(strs.astype(str), return_inverse=True)
+    return DCol(col.dtype, DICT, jnp.asarray(codes.astype(np.int32)),
+                validity=col.validity,
+                dictionary=Dictionary(uniq.astype(object)))
 
 
 def _agg_pack(spec: AggSpec, chunk: Chunk, slot, capacity,
@@ -1522,6 +1596,55 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
             - 1, 0, jnp.maximum(cnt - 1, 0))
         widx = perm[jnp.minimum(offs + idx_in, chunk.n_rows - 1)]
         return c.take(widx, valid=gvalid & (cnt > 0))
+    if spec.func == "checksum":
+        # order-independent checksum: wrapping int64 sum of per-row value
+        # hashes (reference: ``ChecksumAggregationFunction`` — xor/sum of
+        # XxHash64; ours is a murmur-mixed golden-ratio product, same
+        # order-independence and merge-by-addition property)
+        from ..ops.hashing import hash_keys
+        h = hash_keys(_key_arrays(chunk, (spec.arg,))).astype(jnp.int64)
+        contrib = (h + 1) * jnp.int64(0x9E3779B97F4A7C15 - (1 << 64))
+        v = A.seg_sum(contrib, slot, vmask, capacity, jnp.int64)
+        nonempty = A.seg_count(slot, vmask, capacity) > 0
+        return DCol(T.BIGINT, PLAIN, v, validity=gvalid & nonempty)
+    if spec.func == "geometric_mean":
+        fv = _fvals(c)
+        sl = A.seg_sum(jnp.log(jnp.maximum(fv, 1e-300)), slot, vmask,
+                       capacity, jnp.float64)
+        cnt = A.seg_count(slot, vmask, capacity).astype(jnp.float64)
+        v = jnp.exp(sl / jnp.maximum(cnt, 1.0))
+        return DCol(T.DOUBLE, PLAIN, v, validity=gvalid & (cnt > 0))
+    if spec.func in ("bitwise_and_agg", "bitwise_or_agg"):
+        f = A.seg_bitand if spec.func == "bitwise_and_agg" else A.seg_bitor
+        v = f(vals, slot, vmask, capacity)
+        nonempty = A.seg_count(slot, vmask, capacity) > 0
+        return DCol(T.BIGINT, PLAIN, v, validity=gvalid & nonempty)
+    if spec.func in ("min_n", "max_n"):
+        # n smallest/largest per group as an ARRAY: sort by (group, ±value),
+        # keep positions < n (static width from the literal)
+        width = int(spec.param)
+        vk = SORT.value_sort_key(c)
+        if spec.func == "max_n":
+            vk = ~vk
+        slotk = jnp.where(vmask, slot, capacity).astype(jnp.int64)
+        perm = SORT.argsort_multi([(slotk, False), (vk, False)])
+        sk = slotk[perm]
+        valid = sk < capacity
+        newrun = valid & jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+        lo, hi = HT.run_bounds(sk.astype(jnp.int32), newrun, valid,
+                               capacity)
+        n_rows = chunk.n_rows
+        pos_sorted = jnp.arange(n_rows, dtype=jnp.int32) -             lo[jnp.minimum(sk, capacity - 1).astype(jnp.int32)]
+        inv = jnp.argsort(perm)
+        pos = jnp.where(vmask, pos_sorted[inv], -1)
+        packed = _group_pack_kernel(c.values, slot, pos,
+                                    vmask & (pos >= 0) & (pos < width),
+                                    capacity, width)
+        counts = jnp.minimum(A.seg_count(slot, vmask, capacity),
+                             width).astype(jnp.int32)
+        return DCol(_agg_output_type(spec), COL_ARRAY, packed, counts,
+                    gvalid & (counts > 0), c.dictionary)
     if spec.func in ("min", "arbitrary", "any_value"):
         v = (I128.pack(*I128.seg_min128(vals, slot, vmask, capacity))
              if vals.ndim == 2 else A.seg_min(vals, slot, vmask, capacity))
@@ -1659,6 +1782,41 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
                 out[spec.name] = DCol(
                     T.DOUBLE, PLAIN, v[None],
                     validity=(A.g_count(m) >= minc)[None])
+            elif spec.func == "checksum":
+                from ..ops.hashing import hash_keys
+                h = hash_keys(_key_arrays(chunk, (spec.arg,))).astype(
+                    jnp.int64)
+                contrib = (h + 1) * jnp.int64(0x9E3779B97F4A7C15
+                                              - (1 << 64))
+                v = A.g_sum(contrib, m, jnp.int64)
+                out[spec.name] = DCol(T.BIGINT, PLAIN, v[None],
+                                      validity=nonempty[None])
+            elif spec.func == "geometric_mean":
+                fv = _fvals(c)
+                sl = A.g_sum(jnp.log(jnp.maximum(fv, 1e-300)), m,
+                             jnp.float64)
+                cntf = jnp.maximum(A.g_count(m).astype(jnp.float64), 1.0)
+                out[spec.name] = DCol(T.DOUBLE, PLAIN,
+                                      jnp.exp(sl / cntf)[None],
+                                      validity=nonempty[None])
+            elif spec.func in ("bitwise_and_agg", "bitwise_or_agg"):
+                f = A.g_bitand if spec.func == "bitwise_and_agg"                     else A.g_bitor
+                out[spec.name] = DCol(T.BIGINT, PLAIN,
+                                      f(c.values, m)[None],
+                                      validity=nonempty[None])
+            elif spec.func in ("min_n", "max_n"):
+                width = int(spec.param)
+                vk = SORT.value_sort_key(c)
+                if spec.func == "max_n":
+                    vk = ~vk
+                perm = SORT.argsort_multi([(vk, False)], m)
+                cnt = jnp.minimum(A.g_count(m), width).astype(jnp.int32)
+                take = c.values[perm[:width]]
+                grid = jnp.arange(width, dtype=jnp.int32)[None, :] <                     cnt[None, None][0]
+                out[spec.name] = DCol(
+                    _agg_output_type(spec), COL_ARRAY,
+                    jnp.where(grid, take[None, :], 0), cnt[None],
+                    (cnt > 0)[None], c.dictionary)
             elif spec.func in ("bool_and", "bool_or"):
                 b = c.values.astype(jnp.bool_)
                 if spec.func == "bool_and":

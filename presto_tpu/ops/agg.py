@@ -182,6 +182,48 @@ def seg_any(flags, group, mask, capacity):
 
 # --- global (no group-by) variants: one-slot reductions ---
 
+def _seg_bitreduce(values, group, mask, capacity, init, op):
+    """Segmented bitwise AND/OR: sorted run + segmented associative scan
+    (no scatter; bitwise ops have no ``.at[]`` combiner, and per-bit
+    decomposition would cost 64 passes)."""
+    perm, sk, lo, hi = _sorted_runs(group, mask, capacity)
+    v = jnp.where(sk < capacity, values[perm].astype(jnp.int64),
+                  jnp.int64(init))
+    seg = sk.astype(jnp.int32)
+
+    def comb(a, b):
+        av, aseg = a
+        bv, bseg = b
+        return jnp.where(bseg == aseg, op(av, bv), bv), bseg
+
+    sv, _ = jax.lax.associative_scan(comb, (v, seg))
+    n = v.shape[0]
+    end = jnp.clip(hi - 1, 0, n - 1)
+    return jnp.where(hi > lo, sv[end], jnp.int64(init))
+
+
+def seg_bitand(values, group, mask, capacity):
+    vmask = mask & (group >= 0)
+    return _seg_bitreduce(values, group, vmask, capacity, -1,
+                          jnp.bitwise_and)
+
+
+def seg_bitor(values, group, mask, capacity):
+    vmask = mask & (group >= 0)
+    return _seg_bitreduce(values, group, vmask, capacity, 0,
+                          jnp.bitwise_or)
+
+
+def g_bitand(values, mask):
+    v = jnp.where(mask, values.astype(jnp.int64), jnp.int64(-1))
+    return jax.lax.reduce(v, jnp.int64(-1), jnp.bitwise_and, (0,))
+
+
+def g_bitor(values, mask):
+    v = jnp.where(mask, values.astype(jnp.int64), jnp.int64(0))
+    return jax.lax.reduce(v, jnp.int64(0), jnp.bitwise_or, (0,))
+
+
 def g_sum(values, mask, dtype=None):
     dtype = dtype or values.dtype
     from . import pallas_kernels as PK

@@ -68,7 +68,9 @@ def allgather_chunk(chunk: Chunk) -> Chunk:
         cols[name] = DCol(c.dtype, c.kind, g(c.values),
                           None if c.lengths is None else g(c.lengths),
                           None if c.validity is None else g(c.validity),
-                          c.dictionary)
+                          c.dictionary,
+                          None if c.values2 is None else g(c.values2),
+                          c.dictionary2)
     return Chunk(cols, g(chunk.mask))
 
 
@@ -227,11 +229,17 @@ def route_chunk(chunk: Chunk, dest: jnp.ndarray, slack: int = 4,
     new_mask = xchg_sorted(ok, fill=False)
     cols = {}
     for name, c in chunk.cols.items():
+        # nested columns route whole: [N, W] element matrices (values and
+        # MAP values2) move with their lengths — every block kind crosses
+        # the exchange (reference: one BlockEncoding per kind,
+        # ``spi/block/ArrayBlockEncoding.java``)
         cols[name] = DCol(
             c.dtype, c.kind, xchg(c.values),
             None if c.lengths is None else xchg(c.lengths),
             None if c.validity is None else xchg(c.validity, fill=False),
-            c.dictionary)
+            c.dictionary,
+            None if c.values2 is None else xchg(c.values2),
+            c.dictionary2)
     return Chunk(cols, new_mask), overflow
 
 
@@ -360,6 +368,12 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
                               jnp.broadcast_to(v, shape),
                               validity=jnp.broadcast_to(valid, (n,)))
         return Chunk(cols, child.mask), rep
+    if isinstance(plan, PH.PhysUnnest):
+        # lateral expansion is row-local: the static N×W grid expands on
+        # each shard without any exchange
+        child, rep = execute_traced(plan.child, ctx)
+        return PH._unnest_kernel(child, plan.exprs, plan.names,
+                                 plan.ordinality), rep
     raise NotImplementedError(
         f"distributed execution of {type(plan).__name__}")
 
@@ -794,12 +808,31 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
     if not plan.groups:
         if any(s.func in _WHOLE_GROUP_FUNCS or s.distinct
                or s.func in PH.VARIANCE_FUNCS or s.func in PH.CORR_FUNCS
+               or s.func in PH._PACK_AGGS
                or s.func in ("bool_and", "bool_or", "approx_percentile")
                for s in plan.aggs):
             # needs all rows together (order statistics / exact distinct
             # dedup; moment aggregates take this path only when GLOBAL —
             # grouped variance/corr/bool distribute via moment states)
-            return PH._exec_global_agg(plan, allgather_chunk(child)), True
+            gathered = allgather_chunk(child)
+            packs = [s for s in plan.aggs if s.func in PH._PACK_AGGS]
+            if packs:
+                # global nested packs: one implicit group, width = the
+                # gathered row bound (static, can never overflow)
+                rest = PH.PhysHashAggregate(
+                    plan.child, (),
+                    tuple(s for s in plan.aggs
+                          if s.func not in PH._PACK_AGGS), plan.ndv_hint)
+                out = PH._exec_global_agg(rest, gathered) if rest.aggs                     else Chunk({}, jnp.ones((1,), jnp.bool_))
+                slot0 = jnp.zeros((gathered.n_rows,), jnp.int32)
+                cols = dict(out.cols)
+                for spec in packs:
+                    col, _ = PH._agg_pack_traced(
+                        spec, gathered, slot0, 1, out.mask,
+                        gathered.n_rows)
+                    cols[spec.name] = col
+                return Chunk(cols, out.mask), True
+            return PH._exec_global_agg(plan, gathered), True
         # global aggregation: local partials then psum-style merge
         return _traced_global_agg(plan, child), True
     return _traced_partial_final_agg(plan, child, ctx)
@@ -812,12 +845,16 @@ def _traced_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
 # exchange like sum.  approx_percentile also left it (bottom-k sample
 # sketch, ``ops/quantile.py``) except at high group cardinality, where
 # the [capacity, k] sample state would dwarf the data.
-_WHOLE_GROUP_FUNCS = frozenset({"min_by", "max_by"})
+_WHOLE_GROUP_FUNCS = frozenset({"min_by", "max_by", "min_n", "max_n"})
 _QSKETCH_MAX_NDV = 4096
 
 
 def _needs_whole_group(spec, ndv_hint: int) -> bool:
     if spec.distinct or spec.func in _WHOLE_GROUP_FUNCS:
+        return True
+    if spec.func in PH._PACK_AGGS:
+        # nested-value packs: every element of a group must land on one
+        # device; the traced pack then bounds width statically
         return True
     return spec.func == "approx_percentile" and ndv_hint > _QSKETCH_MAX_NDV
 
@@ -889,6 +926,10 @@ def merge_agg_states(plan: PH.PhysHashAggregate, partials: Chunk,
                                                      jnp.floating)
                        else jnp.int64)
                 v = A.seg_sum(c.values, slot2, m, capacity, acc)
+        elif sfunc == "band":
+            v = A.seg_bitand(c.values, slot2, m, capacity)
+        elif sfunc == "bor":
+            v = A.seg_bitor(c.values, slot2, m, capacity)
         elif sfunc == "min":
             v = (I128.pack(*I128.seg_min128(c.values, slot2, m, capacity))
                  if c.values.ndim == 2
@@ -989,6 +1030,15 @@ def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk,
         if spec.distinct:
             out[spec.name] = _traced_distinct_count(
                 spec, child, slot, capacity, gvalid, ctx, key_node)
+        elif spec.func in PH._PACK_AGGS:
+            # static group-width bound, host-retry regrown on overflow
+            wmult = ctx.site_mult(key_node, "packw") if ctx is not None                 else 1
+            width = min(16 * wmult, max(child.n_rows, 1))
+            col, w_ovf = PH._agg_pack_traced(spec, child, slot, capacity,
+                                             gvalid, width)
+            if ctx is not None:
+                ctx.report_overflow(key_node, "packw", w_ovf)
+            out[spec.name] = col
         else:
             out[spec.name] = PH._agg_col(spec, child, slot, capacity, gvalid)
     return Chunk(out, gvalid)
@@ -1120,6 +1170,43 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
                    else A.seg_sum(vals, slot, both, capacity, jnp.float64))
             out.append((f"{spec.name}#{tag}", "sum",
                         DCol(T.DOUBLE, PLAIN, arr, validity=gvalid)))
+    if spec.func == "checksum":
+        from ..ops.hashing import hash_keys as _hk
+        h = _hk(PH._key_arrays(chunk, (spec.arg,))).astype(jnp.int64)
+        contrib = (h + 1) * jnp.int64(0x9E3779B97F4A7C15 - (1 << 64))
+        out.append((f"{spec.name}#sum", "sum",
+                    DCol(T.BIGINT, PLAIN,
+                         A.seg_sum(contrib, slot, vmask, capacity,
+                                   jnp.int64), validity=gvalid)))
+        out.append((f"{spec.name}#cnt", "sum",
+                    DCol(T.BIGINT, PLAIN,
+                         A.seg_count(slot, vmask, capacity),
+                         validity=gvalid)))
+        return out
+    if spec.func == "geometric_mean":
+        fv = PH._fvals(c)
+        out.append((f"{spec.name}#slog", "sum",
+                    DCol(T.DOUBLE, PLAIN,
+                         A.seg_sum(jnp.log(jnp.maximum(fv, 1e-300)), slot,
+                                   vmask, capacity, jnp.float64),
+                         validity=gvalid)))
+        out.append((f"{spec.name}#cnt", "sum",
+                    DCol(T.BIGINT, PLAIN,
+                         A.seg_count(slot, vmask, capacity),
+                         validity=gvalid)))
+        return out
+    if spec.func in ("bitwise_and_agg", "bitwise_or_agg"):
+        band = spec.func == "bitwise_and_agg"
+        f = A.seg_bitand if band else A.seg_bitor
+        out.append((f"{spec.name}#b", "band" if band else "bor",
+                    DCol(T.BIGINT, PLAIN,
+                         f(c.values, slot, vmask, capacity),
+                         validity=gvalid)))
+        out.append((f"{spec.name}#cnt", "sum",
+                    DCol(T.BIGINT, PLAIN,
+                         A.seg_count(slot, vmask, capacity),
+                         validity=gvalid)))
+        return out
     if spec.func in ("bool_and", "bool_or"):
         b = c.values.astype(jnp.bool_)
         if spec.func == "bool_and":
@@ -1170,6 +1257,20 @@ def _finalize_agg(spec: PH.AggSpec, merged: Dict[str, DCol]) -> DCol:
                                   vals["sy"], vals["sxy"], vals["sxx"],
                                   vals["syy"])
         return DCol(T.DOUBLE, PLAIN, v, validity=ok)
+    if spec.func == "checksum":
+        sv = merged[f"{spec.name}#sum"]
+        cnt = merged[f"{spec.name}#cnt"].values
+        return DCol(T.BIGINT, PLAIN, sv.values, validity=cnt > 0)
+    if spec.func == "geometric_mean":
+        sl = merged[f"{spec.name}#slog"].values
+        cnt = merged[f"{spec.name}#cnt"].values.astype(jnp.float64)
+        return DCol(T.DOUBLE, PLAIN,
+                    jnp.exp(sl / jnp.maximum(cnt, 1.0)),
+                    validity=cnt > 0)
+    if spec.func in ("bitwise_and_agg", "bitwise_or_agg"):
+        b = merged[f"{spec.name}#b"]
+        cnt = merged[f"{spec.name}#cnt"].values
+        return DCol(T.BIGINT, PLAIN, b.values, validity=cnt > 0)
     if spec.func in ("bool_and", "bool_or"):
         b = merged[f"{spec.name}#b"]
         cnt = merged[f"{spec.name}#cnt"].values

@@ -37,7 +37,9 @@ AGG_FUNCS = {"sum", "avg", "count", "min", "max", "stddev", "stddev_samp",
              "bool_or", "approx_distinct", "arbitrary", "any_value",
              "min_by", "max_by", "approx_percentile",
              "corr", "covar_samp", "covar_pop", "regr_slope",
-             "regr_intercept", "array_agg", "map_agg", "histogram"}
+             "regr_intercept", "array_agg", "map_agg", "histogram",
+             "checksum", "geometric_mean", "bitwise_and_agg",
+             "bitwise_or_agg"}
 EPOCH = dt.date(1970, 1, 1)
 
 
@@ -1291,6 +1293,17 @@ class Planner:
                 pv = pv / 10 ** p.dtype.scale
             param = float(pv)
             key = (node.name, arg, False, None, param)
+        elif node.name in ("min", "max") and len(node.args) == 2:
+            # min(x, n)/max(x, n): the n smallest/largest as an array
+            # (reference: ``operator/aggregation/MinMaxNAggregations``)
+            arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
+            nlit = self.resolve(node.args[1], self._cur_scope,
+                                self._cur_outer)
+            assert isinstance(nlit, ir.Literal), "min/max N must be literal"
+            param = int(nlit.value)
+            fname = node.name + "_n"
+            key = (fname, arg, False, None, param)
+            node = ast.FuncCall(fname, node.args, False)
         else:
             arg = self.resolve(node.args[0], self._cur_scope, self._cur_outer)
             key = (node.name, arg, node.distinct, None, None)

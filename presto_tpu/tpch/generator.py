@@ -153,7 +153,10 @@ def gen_region(**_) -> Table:
     vals, lens = _comment("region", "comment", 5, 0, 31, 115)
     return Table({
         "r_regionkey": plain_column(T.BIGINT, keys),
-        "r_name": bytes_column(T.varchar(25), names),
+        # dictionary-encoded: 5 fixed names — group keys/pack aggregates
+        # fuse into traced programs (BYTES would force eager host paths)
+        "r_name": dict_column(T.varchar(25),
+                              np.arange(len(names), dtype=np.int32), names),
         "r_comment": bytes_column(T.varchar(152), values=vals, lengths=lens),
     })
 
@@ -165,7 +168,8 @@ def gen_nation(**_) -> Table:
     vals, lens = _comment("nation", "comment", 25, 0, 31, 114)
     return Table({
         "n_nationkey": plain_column(T.BIGINT, keys),
-        "n_name": bytes_column(T.varchar(25), names),
+        "n_name": dict_column(T.varchar(25),
+                              np.arange(len(names), dtype=np.int32), names),
         "n_regionkey": plain_column(T.BIGINT, rkeys),
         "n_comment": bytes_column(T.varchar(152), values=vals, lengths=lens),
     })

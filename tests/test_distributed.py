@@ -216,3 +216,46 @@ def test_sharded_ingest_bounded_slices(mesh):
     r.run_sql("select count(*) c from orders")
     # orders SF0.01 = 15000 units over 8 shards of ~1875 → ≥2 slices/shard
     assert r.ingest_slices >= 16
+
+
+# ---- nested types (ARRAY/MAP) across exchanges --------------------------
+# Reference: one BlockEncoding per block kind crosses the wire
+# (``spi/block/ArrayBlockEncoding.java``); here [N, W] element matrices +
+# lengths (+ MAP values2) ride the same all_to_all/all_gather collectives
+# as flat columns, and pack aggregates run INSIDE the traced program with
+# a static group-width bound regrown by the host retry loop.
+
+def _canon_nested(d):
+    out = {}
+    for k, v in d.items():
+        out[k] = sorted(
+            repr(sorted(x) if isinstance(x, list)
+                 else sorted(x.items()) if isinstance(x, dict) else x)
+            for x in v)
+    return out
+
+
+@pytest.mark.parametrize("sql", [
+    "select n_regionkey, array_agg(n_nationkey) a from nation "
+    "group by n_regionkey",
+    "select n_regionkey, map_agg(n_name, n_nationkey) m from nation "
+    "group by n_regionkey",
+    "select histogram(o_orderpriority) h from orders",
+    "select array_agg(r_regionkey) a from region",
+    "select o_orderpriority, array_agg(o_shippriority) a from orders "
+    "group by o_orderpriority",
+])
+def test_distributed_nested_aggregates(sql, local, dist):
+    exp = _canon_nested(local.run_sql(sql, fused=False).to_pydict())
+    got = _canon_nested(dist.run_sql(sql).to_pydict())
+    assert got == exp, sql
+
+
+def test_distributed_unnest_roundtrip(local, dist):
+    """ARRAY column built distributed, then unnested back to rows."""
+    sql = ("select t.e from (select n_regionkey k, "
+           "array_agg(n_nationkey) a from nation group by n_regionkey) s "
+           "cross join unnest(s.a) as t(e)")
+    exp = sorted(local.run_sql(sql, fused=False).to_pydict()["e"])
+    got = sorted(dist.run_sql(sql).to_pydict()["e"])
+    assert got == exp

@@ -265,3 +265,35 @@ class TestScalarBreadth:
         assert d["a"] == ["2026-08-20"]
         assert d["w"] == ["Thursday"]
         assert d["f"] == ["2026/08"]
+
+
+def test_minn_maxn_checksum_bitwise_geomean(runner):
+    """Round-4 aggregate breadth (reference:
+    ``operator/aggregation/MinMaxNAggregations``,
+    ``ChecksumAggregationFunction``, ``BitwiseAndAggregation``,
+    ``GeometricMeanAggregations``)."""
+    o = O.load("orders", SF)
+    t = runner.run_sql(
+        "select o_orderpriority p, min(o_totalprice, 3) mn, "
+        "max(o_totalprice, 2) mx, bitwise_and_agg(o_custkey) ba, "
+        "bitwise_or_agg(o_custkey) bo, checksum(o_orderkey) ck, "
+        "geometric_mean(o_shippriority + 1) gm "
+        "from orders group by o_orderpriority order by p").to_pandas()
+    for row in t.itertuples():
+        grp = o[o.o_orderpriority == row.p]
+        assert row.mn == sorted(grp.o_totalprice)[:3]
+        assert row.mx == sorted(grp.o_totalprice, reverse=True)[:2]
+        assert row.ba == int(np.bitwise_and.reduce(grp.o_custkey.values))
+        assert row.bo == int(np.bitwise_or.reduce(grp.o_custkey.values))
+        assert abs(row.gm - 1.0) < 1e-9
+    # checksum is order-independent and deterministic: recompute matches
+    t2 = runner.run_sql(
+        "select o_orderpriority p, checksum(o_orderkey) ck from orders "
+        "group by o_orderpriority order by p").to_pandas()
+    assert t.ck.tolist() == t2.ck.tolist()
+    # global forms
+    g = runner.run_sql(
+        "select min(o_totalprice, 3) mn, bitwise_or_agg(o_custkey) bo "
+        "from orders").to_pandas()
+    assert g.mn.iloc[0] == sorted(o.o_totalprice)[:3]
+    assert g.bo.iloc[0] == int(np.bitwise_or.reduce(o.o_custkey.values))
