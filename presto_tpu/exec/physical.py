@@ -182,6 +182,11 @@ class PhysMatchRecognize(PhysOp):
     pattern: object                  # ops.pattern AST
     defines: Tuple[Tuple[str, ir.Expr], ...]
     window: int = 256                # max rows per match (static bound)
+    # ALL ROWS PER MATCH: emit every matched row (RUNNING measure
+    # semantics), not just one row per match
+    all_rows: bool = False
+    # pass-through columns for ALL ROWS (all source columns)
+    passthrough: Tuple[str, ...] = ()
 
     def children(self):
         return (self.child,)
@@ -1081,6 +1086,33 @@ def _exec_match_recognize(plan: PhysMatchRecognize,
     match_number = jnp.cumsum(sel.astype(jnp.int64))
     last_i = jnp.clip(idx + mlen.astype(jnp.int64) - 1, 0, n - 1)
     out: Dict[str, DCol] = {}
+    if plan.all_rows:
+        # ALL ROWS PER MATCH: a row belongs to the match whose selected
+        # start is the latest start s <= row with row < s + len(s).
+        # cummax of selected start indices gives s per row; RUNNING
+        # measure semantics (count = rows so far, last = current row —
+        # reference default for ALL ROWS measures).
+        start_idx = jnp.where(sel, idx, jnp.int64(-1))
+        s_r = jax.lax.associative_scan(jnp.maximum, start_idx)
+        s_c = jnp.clip(s_r, 0, n - 1)
+        belongs = (s_r >= 0) & (idx < s_r + mlen[s_c].astype(jnp.int64)) \
+            & (part_start[s_c] == part_start) & smask
+        for pe in plan.partition:
+            out[pe.name] = aug_chunk.cols[pe.name]
+        for mname, func, arg in plan.measures:
+            if func == "count":          # RUNNING count(*)
+                out[mname] = DCol(T.BIGINT, PLAIN, idx - s_r + 1)
+            elif func == "match_number":
+                out[mname] = DCol(T.BIGINT, PLAIN, match_number[s_c])
+            else:
+                c = eval_expr(arg, aug_chunk)
+                if func == "first":
+                    out[mname] = c.take(s_c, valid=belongs)
+                else:                    # RUNNING last = current row
+                    out[mname] = c
+        for name in plan.passthrough:
+            out[name] = aug_chunk.cols[name]
+        return _maybe_compact(Chunk(out, belongs), ctx)
     for pe in plan.partition:
         out[pe.name] = aug_chunk.cols[pe.name]
     for mname, func, arg in plan.measures:

@@ -229,6 +229,7 @@ class MatchRecognizeRef(Node):
     pattern: object                          # ops.pattern Sym/Seq/Alt/Quant
     defines: List[Tuple[str, Node]]          # (symbol, predicate)
     alias: Optional[str] = None
+    all_rows: bool = False                   # ALL ROWS PER MATCH
 
 
 # --- query ---

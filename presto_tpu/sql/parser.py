@@ -358,12 +358,19 @@ class Parser:
                 measures.append((e, self.expect("name").value))
                 if not self.accept("op", ","):
                     break
+        all_rows = False
         if self._name("one"):           # ONE ROW PER MATCH (the default)
             self.next()
             self.expect("kw", "row")
             for w in ("per", "match"):
                 tok = self.next()
                 assert tok.value == w, f"expected {w.upper()}"
+        elif self.at_kw("all"):         # ALL ROWS PER MATCH
+            self.next()
+            for w in ("rows", "per", "match"):
+                tok = self.next()
+                assert tok.value == w, f"expected {w.upper()}"
+            all_rows = True
         if self._name("after"):         # AFTER MATCH SKIP PAST LAST ROW
             self.next()
             for w in ("match", "skip", "past"):
@@ -392,7 +399,8 @@ class Parser:
         elif self.peek().kind == "name":
             alias = self.next().value
         return ast.MatchRecognizeRef(source, partition, order, measures,
-                                     pattern, defines, alias)
+                                     pattern, defines, alias,
+                                     all_rows=all_rows)
 
     def _parse_pattern_alt(self):
         """alternation → sequence → quantified factor (row-pattern

@@ -414,9 +414,24 @@ class Planner:
                 out_cols.add(mname)
         finally:
             self._mr_symbols = None
+        passthrough = ()
+        if r.all_rows:
+            # ALL ROWS PER MATCH: every source column passes through
+            # alongside the (running) measures — reference:
+            # ``PatternRecognitionRelation.RowsPerMatch.ALL_SHOW_EMPTY``
+            # family (we implement the default ALL ROWS semantics)
+            seen = set(out_cols)
+            pt = []
+            for (a, nm), (phys, dt) in list(scope.entries.items()):
+                if phys not in seen:
+                    seen.add(phys)
+                    pt.append(phys)
+                out_scope.add(alias, nm, phys, dt)
+                out_cols.add(phys)
+            passthrough = tuple(pt)
         plan = P.PhysMatchRecognize(
             base.plan, tuple(parts), order, tuple(measures), r.pattern,
-            tuple(defines))
+            tuple(defines), all_rows=r.all_rows, passthrough=passthrough)
         return Rel(plan, out_scope, out_cols, [], base.est)
 
     def _plan_memory_table(self, ref: ast.TableRef, name: str) -> Rel:

@@ -92,10 +92,14 @@ def prune(plan: P.PhysOp, required: Optional[Set[str]] = None) -> P.PhysOp:
             prune(c, None)  # inputs are pre-projected to exact outputs
         return plan
     if isinstance(plan, P.PhysMatchRecognize):
+        if plan.passthrough and required is not None:
+            # ALL ROWS pass-through columns narrow to what consumers need
+            plan.passthrough = tuple(n for n in plan.passthrough
+                                     if n in required)
         child_req = _refs(
             *plan.partition, *(e for e, _ in plan.order),
             *(p for _, p in plan.defines),
-            *(a for _, _, a in plan.measures if a is not None))
+            *(a for _, _, a in plan.measures if a is not None))             | set(plan.passthrough)
         # Shifted wraps a ColumnRef; referenced_columns reaches it via
         # children(), so child_req already contains navigation sources
         prune(plan.child, child_req or None)

@@ -108,3 +108,38 @@ def test_explain_renders(runner):
     df = out.to_pandas()
     joined = "\n".join(df.iloc[:, 0].tolist())
     assert "MatchRecognize" in joined
+
+
+MR_ALL_SQL = """
+select c, mno, rcount, price from orders match_recognize (
+  partition by o_custkey
+  order by o_orderkey
+  measures o_custkey as c, match_number() as mno, count(*) as rcount,
+           o_totalprice as price
+  all rows per match
+  after match skip past last row
+  pattern (d+ u+)
+  define d as o_totalprice < prev(o_totalprice),
+         u as o_totalprice > prev(o_totalprice)
+)
+"""
+
+
+def test_all_rows_per_match(runner):
+    """ALL ROWS PER MATCH: one output row per MATCHED INPUT ROW with
+    RUNNING measure semantics (count = rows so far in the match)."""
+    got = runner.run_sql(MR_ALL_SQL).to_pandas()
+    one = runner.run_sql(MR_SQL).to_pandas()
+    # total matched rows = sum of the per-match lengths from ONE ROW mode
+    assert len(got) == int(one.mlen.sum())
+    # per-match: running count ends at the match length; prices are the
+    # actual rows of the match
+    o = O.load("orders", SF)
+    want = _oracle_matches(o, r"D+U+")
+    by_len = sorted(w["len"] for w in want)
+    ends = got[got.rcount == got.groupby(
+        ["c", "mno"]).rcount.transform("max")]
+    assert sorted(int(v) for v in ends.rcount) == by_len
+    # running count within each (c, mno) is 1..len
+    for (_, _), grp in got.groupby(["c", "mno"]):
+        assert grp.rcount.tolist() == list(range(1, len(grp) + 1))
