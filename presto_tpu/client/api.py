@@ -78,6 +78,9 @@ class Cursor:
                 info.state.value, info.elapsed_s, info.rows, info.error))
         data = table.to_pydict()
         names = list(data.keys())
+        # planning/execution warnings (reference: WarningCollector on the
+        # query; surfaced in QueryResults.warnings)
+        self.warnings = self.conn._runner.last_warnings.as_dicts()
         self.description = [(n, str(table.columns[n].dtype),
                              None, None, None, None, None)
                             for n in names]
@@ -129,12 +132,61 @@ class Connection:
                                    scale_factor=scale_factor)
         self._queries: List[QueryInfo] = []
         self.events = EventListenerManager()
+        self._txn = None
+        self._tm = None
+        self._pre_txn_tables = None
 
     def cursor(self) -> Cursor:
         return Cursor(self)
 
     def execute(self, sql: str) -> Cursor:
         return self.cursor().execute(sql)
+
+    # -- explicit transactions (reference: InMemoryTransactionManager;
+    # autocommit per statement unless begun).  Reads inside an open
+    # transaction observe the memory-catalog snapshot pinned at begin();
+    # writes buffer in the transaction and publish atomically at commit.
+    def begin(self):
+        from ..utils.transactions import TransactionManager
+        assert self._txn is None, "transaction already open"
+        if self._tm is None:
+            self._tm = TransactionManager(self._runner.datasource)
+        self._txn = self._tm.begin()
+        ds = self._runner.datasource
+        self._pre_txn_tables = ds.memory
+        mem = ds.catalog.get("memory").metadata
+        mem.tables = dict(self._txn.tables())
+        ds.memory = mem.tables
+        ds._bump()
+        return self._txn
+
+    def commit(self):
+        assert self._txn is not None, "no open transaction"
+        txn, self._txn = self._txn, None
+        ds = self._runner.datasource
+        # session-buffered DDL became the connection's memory dict; diff
+        # it against the snapshot into the transaction's write set
+        for name, t in ds.memory.items():
+            if self._pre_txn_tables.get(name) is not t:
+                txn.create_table(name, t)
+        for name in set(self._pre_txn_tables) - set(ds.memory):
+            txn.drop_table(name)
+        self._restore(ds)
+        txn.commit()
+        self._tm.finish(txn.id)
+
+    def rollback(self):
+        assert self._txn is not None, "no open transaction"
+        txn, self._txn = self._txn, None
+        self._restore(self._runner.datasource)
+        txn.rollback()
+        self._tm.finish(txn.id)
+
+    def _restore(self, ds):
+        mem = ds.catalog.get("memory").metadata
+        mem.tables = self._pre_txn_tables
+        ds.memory = mem.tables
+        ds._bump()
 
     def queries(self) -> List[QueryInfo]:
         """Query history (the ``/v1/query`` QueryResource analogue)."""

@@ -46,9 +46,11 @@ def _json_value(v, dtype: str):
 
 
 class _QueryResult:
-    def __init__(self, query_id: str, sql: str):
+    def __init__(self, query_id: str, sql: str, trace_token=None):
         self.id = query_id
         self.sql = sql
+        self.trace_token = trace_token   # X-Trino-Trace-Token analogue
+        self.warnings: List[dict] = []
         self.state = "QUEUED"
         self.columns: List[Dict[str, str]] = []
         self.rows: List[List[Any]] = []
@@ -98,7 +100,8 @@ class StatementServer:
                     if "=" in kv:
                         k, v = kv.split("=", 1)
                         props[k.strip()] = v.strip()
-                q = server._execute(sql, user, props)
+                trace = self.headers.get("X-Trace-Token")
+                q = server._execute(sql, user, props, trace_token=trace)
                 # first hop mirrors the queued→executing redirect: no data
                 self._send(server._results(q, token=0, data=False))
 
@@ -162,8 +165,9 @@ class StatementServer:
     # -- protocol bodies --------------------------------------------------
 
     def _execute(self, sql: str, user: str,
-                 session_props: Optional[dict] = None) -> _QueryResult:
-        q = _QueryResult(f"q_{next(_ids)}", sql)
+                 session_props: Optional[dict] = None,
+                 trace_token: Optional[str] = None) -> _QueryResult:
+        q = _QueryResult(f"q_{next(_ids)}", sql, trace_token=trace_token)
         self._queries[q.id] = q
         t0 = time.time()
         slot = None
@@ -199,6 +203,7 @@ class StatementServer:
                 q.rows = [[_json_value(v, t) for v, t in zip(row, types)]
                           for row in cur.fetchall()]
                 q.state = "FINISHED"
+                q.warnings = getattr(cur, "warnings", [])
                 pool = getattr(
                     getattr(self.connection, "_runner", None),
                     "datasource", None)
@@ -260,6 +265,13 @@ class StatementServer:
                       "peakMemoryBytes": q.peak_memory_bytes,
                       "progressPercentage": 100.0 if done else 0.0},
         }
+        if q.warnings:
+            out["warnings"] = q.warnings
+        if q.trace_token is not None:
+            # trace-token propagation (reference:
+            # ``server/GenerateTraceTokenRequestFilter.java`` threads a
+            # token through every request of one query)
+            out["traceToken"] = q.trace_token
         if q.error is not None:
             code, name, etype = q.error_code or (65536,
                                                  "GENERIC_INTERNAL_ERROR",

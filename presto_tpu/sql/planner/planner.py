@@ -121,8 +121,9 @@ class Rel:
 
 class Planner:
     def __init__(self, scale_factor: float, extra_tables=None,
-                 extra_stats=None):
+                 extra_stats=None, warnings=None):
         self.sf = scale_factor
+        self.warnings = warnings      # WarningCollector | None
         self.counter = 0
         self.used_prefixes: Set[str] = set()
         self.ctes: Dict[str, ast.Select] = {}
@@ -1490,6 +1491,11 @@ class Planner:
             if not edges:
                 # cross join (NestedLoopJoinOperator analogue): expand join
                 # on a constant key — build side = smallest component
+                if self.warnings is not None:
+                    self.warnings.add(
+                        "CROSS_JOIN",
+                        "query contains a cross join (no equi-join "
+                        "predicate connects all relations)")
                 comps.sort(key=lambda r: r.est)
                 small, big = comps[0], comps[1]
                 payload = tuple((c, c) for c in sorted(small.columns))
