@@ -18,10 +18,28 @@ def _fmt(v, dtype: str):
     if dtype == "date":
         import datetime as dt
         return (dt.date(1970, 1, 1) + dt.timedelta(days=int(v))).isoformat()
-    if dtype == "timestamp":
+    if dtype == "timestamp" or dtype.startswith("timestamp("):
         import datetime as dt
-        return (dt.datetime(1970, 1, 1)
-                + dt.timedelta(microseconds=int(v))).isoformat(" ")
+        out = (dt.datetime(1970, 1, 1)
+               + dt.timedelta(microseconds=int(v))).isoformat(" ")
+        if dtype.startswith("timestamp("):
+            p = int(dtype.rstrip(")").split("(")[1])
+            if "." in out:
+                head, frac = out.split(".")
+                out = head if p == 0 else f"{head}.{frac[:p]:0<{p}}"
+        return out
+    if dtype == "interval day to second":
+        sign = "-" if v < 0 else ""
+        us = abs(int(v))
+        d, rem = divmod(us, 86_400_000_000)
+        h, rem = divmod(rem, 3_600_000_000)
+        m, rem = divmod(rem, 60_000_000)
+        s_, ms = divmod(rem, 1_000_000)
+        return f"{sign}{d} {h:02d}:{m:02d}:{s_:02d}.{ms // 1000:03d}"
+    if dtype == "interval year to month":
+        sign = "-" if v < 0 else ""
+        y, mo = divmod(abs(int(v)), 12)
+        return f"{sign}{y}-{mo}"
     if dtype.startswith("decimal("):
         scale = int(dtype.rstrip(")").split(",")[1])
         if scale == 0:

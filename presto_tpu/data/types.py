@@ -109,10 +109,41 @@ class DateType(DataType):
 
 @dataclass(frozen=True)
 class TimestampType(DataType):
-    """Microseconds since epoch as int64 (reference: 5 timestamp variants in
-    ``spi/type/``; this is the TIMESTAMP(6) layout)."""
+    """Microseconds since epoch as int64.  ``precision`` is the declared
+    fractional-second digits (reference: 5 timestamp variants in
+    ``spi/type/`` — TIMESTAMP(0..12); micros bound ours at 6).  Physical
+    layout is identical for every precision; rendering truncates."""
 
+    precision: int = 6
     name: str = field(init=False, default="timestamp")
+
+    @property
+    def np_dtype(self):
+        return np.int64
+
+    def __str__(self) -> str:
+        return f"timestamp({self.precision})" if self.precision != 6             else "timestamp"
+
+
+@dataclass(frozen=True)
+class IntervalDayTimeType(DataType):
+    """INTERVAL DAY TO SECOND as microseconds int64 (reference:
+    ``spi/type/IntervalDayTimeType`` — millis there, micros here to
+    match the timestamp unit)."""
+
+    name: str = field(init=False, default="interval day to second")
+
+    @property
+    def np_dtype(self):
+        return np.int64
+
+
+@dataclass(frozen=True)
+class IntervalYearMonthType(DataType):
+    """INTERVAL YEAR TO MONTH as whole months int64 (reference:
+    ``spi/type/IntervalYearMonthType``)."""
+
+    name: str = field(init=False, default="interval year to month")
 
     @property
     def np_dtype(self):
@@ -189,6 +220,8 @@ BIGINT = BigintType()
 TIMESTAMP = TimestampType()
 INTEGER = IntegerType()
 BOOLEAN = BooleanType()
+INTERVAL_DAY_TIME = IntervalDayTimeType()
+INTERVAL_YEAR_MONTH = IntervalYearMonthType()
 DOUBLE = DoubleType()
 DATE = DateType()
 VARCHAR = VarcharType()
@@ -264,6 +297,16 @@ def common_super_type(a: DataType, b: DataType) -> DataType:
         return VARCHAR
     if isinstance(a, DateType) and isinstance(b, DateType):
         return DATE
+    if isinstance(a, TimestampType) and isinstance(b, TimestampType):
+        return TimestampType(precision=max(a.precision, b.precision))
+    if {type(a), type(b)} <= {DateType, TimestampType}:
+        return a if isinstance(a, TimestampType) else b
+    if isinstance(a, IntervalDayTimeType) and \
+            isinstance(b, IntervalDayTimeType):
+        return INTERVAL_DAY_TIME
+    if isinstance(a, IntervalYearMonthType) and \
+            isinstance(b, IntervalYearMonthType):
+        return INTERVAL_YEAR_MONTH
     raise TypeError(f"no common super type for {a} and {b}")
 
 

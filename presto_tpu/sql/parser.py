@@ -588,8 +588,10 @@ class Parser:
                 return ast.DateLit(self.expect("string").value)
             if self.accept("kw", "interval"):
                 v = int(self.expect("string").value)
-                unit = self.expect("kw").value
-                if unit not in ("day", "month", "year"):
+                tok = self.next()          # unit: kw (day/month/year) or
+                unit = tok.value.rstrip("s")   # name (hour/minute/second)
+                if unit not in ("day", "month", "year", "hour", "minute",
+                                "second", "week"):
                     raise SyntaxError(f"bad interval unit {unit}")
                 return ast.IntervalLit(v, unit)
             if self.accept("kw", "case"):

@@ -523,7 +523,15 @@ class Planner:
             micros = _timestamp_micros(node.value)
             return ir.Literal(micros, T.TIMESTAMP)
         if isinstance(node, ast.IntervalLit):
-            raise ValueError("interval literal outside date arithmetic")
+            # first-class interval value (reference:
+            # ``spi/type/IntervalDayTimeType``/``IntervalYearMonthType``)
+            if node.unit in ("year", "month"):
+                months = node.value * (12 if node.unit == "year" else 1)
+                return ir.Literal(months, T.INTERVAL_YEAR_MONTH)
+            per = {"day": 86_400_000_000, "week": 7 * 86_400_000_000,
+                   "hour": 3_600_000_000, "minute": 60_000_000,
+                   "second": 1_000_000}[node.unit]
+            return ir.Literal(node.value * per, T.INTERVAL_DAY_TIME)
         if isinstance(node, ast.BinaryOp):
             if node.op in ("and", "or"):
                 l = self._resolve(node.left, scope, outer)
@@ -534,16 +542,24 @@ class Planner:
                 r = self._resolve(node.right, scope, outer)
                 return ir.Compare(node.op, l, r)
             if node.op in ("+", "-"):
-                # date ± interval folding (always literal dates in TPC-H)
+                # date ± interval: literal dates fold at plan time; date/
+                # timestamp COLUMNS lower to date_add (reference:
+                # ``DateTimeOperators`` registers ±interval per type)
                 if isinstance(node.right, ast.IntervalLit):
                     l = self._resolve(node.left, scope, outer)
+                    sign = 1 if node.op == "+" else -1
                     if isinstance(l, ir.Literal) and isinstance(l.dtype, T.DateType):
                         d = EPOCH + dt.timedelta(days=int(l.value))
-                        sign = 1 if node.op == "+" else -1
                         d2 = _add_interval(d, sign * node.right.value,
                                            node.right.unit)
                         return ir.lit_date((d2 - EPOCH).days)
-                    raise NotImplementedError("interval on non-literal date")
+                    if isinstance(l.dtype, (T.DateType, T.TimestampType)):
+                        unit = node.right.unit
+                        return ir.Func(
+                            "date_add",
+                            (ir.lit_string(unit),
+                             ir.lit_bigint(sign * node.right.value), l),
+                            l.dtype)
                 l = self._resolve(node.left, scope, outer)
                 r = self._resolve(node.right, scope, outer)
                 return ir.arith(node.op, l, r)
@@ -2071,7 +2087,15 @@ def _parse_type(name: str) -> T.DataType:
     if name == "date":
         return T.DATE
     if name.startswith("timestamp"):
+        if "(" in name:
+            p = int(name[name.index("(") + 1:-1])
+            return T.TimestampType(precision=min(p, 6))
         return T.TIMESTAMP
+    if name.replace(" ", "") in ("intervaldaytosecond", "intervalday"):
+        return T.INTERVAL_DAY_TIME
+    if name.replace(" ", "") in ("intervalyeartomonth", "intervalyear",
+                                 "intervalmonth"):
+        return T.INTERVAL_YEAR_MONTH
     if name.startswith("decimal"):
         if "(" in name:
             inner = name[name.index("(") + 1:-1]

@@ -297,3 +297,34 @@ def test_minn_maxn_checksum_bitwise_geomean(runner):
         "from orders").to_pandas()
     assert g.mn.iloc[0] == sorted(o.o_totalprice)[:3]
     assert g.bo.iloc[0] == int(np.bitwise_or.reduce(o.o_custkey.values))
+
+
+def test_interval_types_and_timestamp_precision(runner):
+    """INTERVAL DAY TO SECOND / YEAR TO MONTH as first-class values and
+    interval arithmetic over COLUMNS (reference:
+    ``spi/type/IntervalDayTimeType``, ``DateTimeOperators``)."""
+    t = runner.run_sql(
+        "select interval '3' day d, interval '14' month m, "
+        "interval '90' minute mi from region limit 1")
+    assert str(t.columns["d"].dtype) == "interval day to second"
+    assert str(t.columns["m"].dtype) == "interval year to month"
+    assert t.columns["d"].to_pylist() == [3 * 86_400_000_000]
+    assert t.columns["m"].to_pylist() == [14]
+    assert t.columns["mi"].to_pylist() == [90 * 60_000_000]
+    # column + interval month uses calendar arithmetic
+    got = runner.run_sql(
+        "select count(*) c from orders "
+        "where o_orderdate + interval '1' month > o_orderdate").to_pandas()
+    o = O.load("orders", SF)
+    assert got.c.iloc[0] == len(o)
+    # timestamp precision cast + rendering
+    t3 = runner.run_sql(
+        "select cast(timestamp '2024-01-02 03:04:05.678901' "
+        "as timestamp(3)) t from region limit 1")
+    assert str(t3.columns["t"].dtype) == "timestamp(3)"
+    from presto_tpu.client.cli import _fmt
+    assert _fmt(t3.columns["t"].to_pylist()[0],
+                "timestamp(3)") == "2024-01-02 03:04:05.678"
+    assert _fmt(3 * 86_400_000_000 + 3_600_000_000,
+                "interval day to second") == "3 01:00:00.000"
+    assert _fmt(14, "interval year to month") == "1-2"
