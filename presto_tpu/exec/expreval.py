@@ -470,9 +470,80 @@ def _eval_string_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
                     "replace", "trim", "ltrim", "rtrim", "reverse",
                     "split_part", "strpos", "position", "starts_with",
                     "ends_with", "codepoint", "chr", "split",
-                    "json_extract_scalar"):
+                    "json_extract_scalar", "lpad", "rpad", "translate",
+                    "repeat_str", "to_hex", "from_hex", "to_base64",
+                    "from_base64", "url_extract_protocol",
+                    "url_extract_host", "url_extract_path",
+                    "url_extract_port", "url_extract_query",
+                    "url_encode", "url_decode", "normalize_space"):
         return None
     a = args[0]
+    if name in ("lpad", "rpad"):
+        # lpad/rpad(s, size, pad) — reference StringFunctions.java
+        size = int(expr.args[1].value)
+        pad = _lit_str(expr.args[2]) if len(expr.args) > 2 else " "
+
+        def fpad(s, _sz=size, _p=pad, _left=(name == "lpad")):
+            if len(s) >= _sz:
+                return s[:_sz]
+            fill = (_p * _sz)[: _sz - len(s)]
+            return fill + s if _left else s + fill
+        return _string_transform(a, fpad, expr.dtype)
+    if name == "translate":
+        frm = _lit_str(expr.args[1])
+        to = _lit_str(expr.args[2])
+        tbl = str.maketrans(frm[:len(to)], to[:len(frm)],
+                            frm[len(to):])
+        return _string_transform(a, lambda s: s.translate(tbl),
+                                 expr.dtype)
+    if name == "to_hex":
+        return _string_transform(
+            a, lambda s: s.encode("ascii", "replace").hex().upper(),
+            expr.dtype)
+    if name == "from_hex":
+        return _string_transform(
+            a, lambda s: bytes.fromhex(s).decode("ascii", "replace"),
+            expr.dtype)
+    if name == "to_base64":
+        import base64
+        return _string_transform(
+            a, lambda s: base64.b64encode(
+                s.encode("ascii", "replace")).decode(), expr.dtype)
+    if name == "from_base64":
+        import base64
+        return _string_transform(
+            a, lambda s: base64.b64decode(s).decode("ascii", "replace"),
+            expr.dtype)
+    if name.startswith("url_extract_") or name in ("url_encode",
+                                                   "url_decode"):
+        # reference: operator/scalar/UrlFunctions.java
+        from urllib.parse import urlsplit, quote, unquote
+        if name == "url_encode":
+            return _string_transform(a, lambda s: quote(s, safe=""),
+                                     expr.dtype)
+        if name == "url_decode":
+            return _string_transform(a, unquote, expr.dtype)
+        part = name[len("url_extract_"):]
+        if part == "port":
+            def fport(s):
+                try:
+                    p = urlsplit(s).port
+                except ValueError:
+                    return -1
+                return p if p is not None else -1
+            out = _string_scalar(a, fport, T.BIGINT, np.int64)
+            return DCol(T.BIGINT, PLAIN, out.values,
+                        validity=_and_validity(out.validity,
+                                               out.values >= 0))
+
+        def furl(s, _part=part):
+            u = urlsplit(s)
+            return {"protocol": u.scheme, "host": u.hostname or "",
+                    "path": u.path, "query": u.query}[_part]
+        return _string_transform(a, furl, expr.dtype)
+    if name == "normalize_space":
+        return _string_transform(a, lambda s: " ".join(s.split()),
+                                 expr.dtype)
     if name == "chr":
         return DCol(expr.dtype, BYTES,
                     a.values.astype(jnp.uint8)[:, None],

@@ -564,6 +564,15 @@ class Parser:
                 self.expect("op", ")")
                 return ast.ScalarSubquery(q)
             e = self.parse_expr()
+            if self.accept("op", ","):
+                # parenthesized list = ROW constructor (reference:
+                # ``sql/tree/Row.java``; also the implicit form in tuple
+                # comparisons and multi-column IN)
+                items = [e, self.parse_expr()]
+                while self.accept("op", ","):
+                    items.append(self.parse_expr())
+                self.expect("op", ")")
+                return ast.FuncCall("row", items)
             self.expect("op", ")")
             return e
         if t.kind == "number":

@@ -538,6 +538,19 @@ class Planner:
                 r = self._resolve(node.right, scope, outer)
                 return ir.and_(l, r) if node.op == "and" else ir.or_(l, r)
             if node.op in ("=", "<>", "<", "<=", ">", ">="):
+                lrow = (isinstance(node.left, ast.FuncCall)
+                        and node.left.name == "row")
+                rrow = (isinstance(node.right, ast.FuncCall)
+                        and node.right.name == "row")
+                if lrow and rrow:
+                    # ROW comparison decomposes at plan time (reference:
+                    # ``RowComparisonOperators`` — fieldwise/lexicographic)
+                    ls = [self._resolve(a, scope, outer)
+                          for a in node.left.args]
+                    rs = [self._resolve(a, scope, outer)
+                          for a in node.right.args]
+                    assert len(ls) == len(rs), "row arity mismatch"
+                    return _row_compare(node.op, ls, rs)
                 l = self._resolve(node.left, scope, outer)
                 r = self._resolve(node.right, scope, outer)
                 return ir.Compare(node.op, l, r)
@@ -585,6 +598,20 @@ class Planner:
             return ir.Like(self._resolve(node.arg, scope, outer),
                            node.pattern, node.negated)
         if isinstance(node, ast.InListExpr):
+            if isinstance(node.arg, ast.FuncCall) and \
+                    node.arg.name == "row":
+                # tuple IN: (a,b) IN ((1,2),...) -> OR of per-tuple ANDs
+                arms = []
+                for v in node.values:
+                    assert isinstance(v, ast.FuncCall) and v.name == "row", \
+                        "tuple IN requires tuple values"
+                    comps = [ir.Compare(
+                        "=", self._resolve(a, scope, outer),
+                        self._resolve(b, scope, outer))
+                        for a, b in zip(node.arg.args, v.args)]
+                    arms.append(ir.and_(*comps))
+                e = ir.or_(*arms)
+                return ir.Not(e) if node.negated else e
             vals = []
             for v in node.values:
                 rv = self._resolve(v, scope, outer)
@@ -720,8 +747,15 @@ class Planner:
             return ir.Func(name, args, T.BOOLEAN)
         if name in ("regexp_extract", "regexp_replace", "replace", "trim",
                     "ltrim", "rtrim", "reverse", "split_part", "chr",
-                    "json_extract_scalar", "json_query"):
+                    "json_extract_scalar", "json_query", "lpad", "rpad",
+                    "translate", "to_hex", "from_hex", "to_base64",
+                    "from_base64", "url_extract_protocol",
+                    "url_extract_host", "url_extract_path",
+                    "url_extract_query", "url_encode", "url_decode",
+                    "normalize_space"):
             return ir.Func(name, args, T.VARCHAR)
+        if name == "url_extract_port":
+            return ir.Func(name, args, T.BIGINT)
         if name in ("strpos", "position", "codepoint", "day_of_week",
                     "dow", "day_of_year", "doy", "quarter", "week",
                     "date_diff"):
@@ -1896,16 +1930,25 @@ class Planner:
 
     def _apply_in(self, cur: Rel, node: ast.InSubquery, negated: bool,
                   outer, post_agg: bool) -> Rel:
-        arg = (self.resolve_post_agg(node.arg, cur.scope) if post_agg
-               else self.resolve(node.arg, cur.scope, outer))
+        def res(e):
+            return (self.resolve_post_agg(e, cur.scope) if post_agg
+                    else self.resolve(e, cur.scope, outer))
+
+        if isinstance(node.arg, ast.FuncCall) and node.arg.name == "row":
+            # multi-column IN: (a, b) IN (select x, y ...) — the semi
+            # join probes on every component key
+            args = tuple(res(a) for a in node.arg.args)
+        else:
+            args = (res(node.arg),)
         sub = self.plan_select(node.query, outer=None)
-        out_names = list(sub.columns)
-        assert len(out_names) == 1, "IN subquery must produce one column"
-        (out_name,) = out_names
-        dtype = sub.scope.resolve((out_name,))[1]
+        out_names = _output_order(sub.plan)
+        assert len(out_names) == len(args), \
+            "IN subquery arity must match the probe tuple"
+        build_keys = tuple(
+            ir.ColumnRef(n, sub.scope.resolve((n,))[1])
+            for n in out_names)
         plan = P.PhysHashJoin(
-            cur.plan, sub.plan, (arg,),
-            (ir.ColumnRef(out_name, dtype),),
+            cur.plan, sub.plan, args, build_keys,
             kind="anti" if negated else "semi", unique_build=False,
             build_est=sub.est, probe_est=cur.est,
             build_cap_est=max(sub.base, sub.est))
@@ -2075,6 +2118,27 @@ def _flatten_sets(gs: ast.GroupingSets):
         for k in keys:
             if not any(k == o for o in out):
                 out.append(k)
+    return out
+
+
+def _row_compare(op: str, ls, rs) -> ir.Expr:
+    """Fieldwise/lexicographic ROW comparison decomposition."""
+    if op == "=":
+        return ir.and_(*[ir.Compare("=", a, b) for a, b in zip(ls, rs)])
+    if op == "<>":
+        return ir.or_(*[ir.Compare("<>", a, b) for a, b in zip(ls, rs)])
+    strict = op.rstrip("=")          # "<" or ">"
+    out = None
+    # build right-to-left: last field uses the original op (incl. =)
+    for i in range(len(ls) - 1, -1, -1):
+        this_op = op if i == len(ls) - 1 else strict
+        cmp_i = ir.Compare(this_op, ls[i], rs[i])
+        if out is None:
+            out = cmp_i
+        else:
+            out = ir.or_(cmp_i if i == len(ls) - 1 else
+                         ir.Compare(strict, ls[i], rs[i]),
+                         ir.and_(ir.Compare("=", ls[i], rs[i]), out))
     return out
 
 

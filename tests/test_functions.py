@@ -328,3 +328,63 @@ def test_interval_types_and_timestamp_precision(runner):
     assert _fmt(3 * 86_400_000_000 + 3_600_000_000,
                 "interval day to second") == "3 01:00:00.000"
     assert _fmt(14, "interval year to month") == "1-2"
+
+
+def test_row_comparisons_and_tuple_in(runner):
+    """ROW value expressions decompose at plan time (reference:
+    ``sql/tree/Row.java`` + RowComparisonOperators): fieldwise =/<>,
+    lexicographic ordering, tuple IN lists, multi-column IN subqueries."""
+    o = O.load("orders", SF)
+    n = O.load("nation", SF)
+    t = runner.run_sql(
+        "select count(*) c from orders "
+        "where (o_orderstatus, o_shippriority) = ('F', 0)").to_pandas()
+    assert t.c.iloc[0] == int(
+        ((o.o_orderstatus == "F") & (o.o_shippriority == 0)).sum())
+    t2 = runner.run_sql(
+        "select count(*) c from nation "
+        "where (n_regionkey, n_nationkey) < (2, 10)").to_pandas()
+    assert t2.c.iloc[0] == int(
+        ((n.n_regionkey < 2)
+         | ((n.n_regionkey == 2) & (n.n_nationkey < 10))).sum())
+    t3 = runner.run_sql(
+        "select count(*) c from nation where (n_regionkey, n_nationkey) "
+        "in ((0, 0), (1, 1), (2, 100))").to_pandas()
+    assert t3.c.iloc[0] == 2
+    t4 = runner.run_sql(
+        "select count(*) c from orders where (o_custkey, o_orderstatus) "
+        "in (select o_custkey, o_orderstatus from orders "
+        "    where o_totalprice > 4000000)").to_pandas()
+    big = o[o.o_totalprice > 400000000][
+        ["o_custkey", "o_orderstatus"]].drop_duplicates()
+    pairs = set(map(tuple, big.values))
+    assert t4.c.iloc[0] == sum(
+        1 for x in zip(o.o_custkey, o.o_orderstatus) if x in pairs)
+
+
+def test_url_hex_base64_pad_functions(runner):
+    """Scalar breadth batch (reference: ``operator/scalar/UrlFunctions``,
+    ``StringFunctions`` lpad/rpad/translate, ``VarbinaryFunctions``
+    to_hex/base64)."""
+    t = runner.run_sql(
+        "select lpad('ab', 5, '*') lp, rpad('ab', 5, 'x') rp, "
+        "translate('hello', 'el', 'ip') tr, to_hex('AB') th, "
+        "from_hex('4142') fh, to_base64('hi') tb, from_base64('aGk=') fb, "
+        "url_extract_host('https://example.com:8080/p?q=1') h, "
+        "url_extract_protocol('https://example.com/p') pr, "
+        "url_extract_path('https://example.com/a/b?x=1') pa, "
+        "url_extract_port('https://example.com:8080/') po, "
+        "url_extract_query('https://example.com/p?q=1&r=2') uq, "
+        "url_encode('a b&c') ue, url_decode('a%20b') ud "
+        "from region limit 1").to_pandas()
+    r = t.iloc[0]
+    assert r.lp == "***ab" and r.rp == "abxxx" and r.tr == "hippo"
+    assert r.th == "4142" and r.fh == "AB"
+    assert r.tb == "aGk=" and r.fb == "hi"
+    assert (r.h, r.pr, r.pa, r.po) == ("example.com", "https", "/a/b", 8080)
+    assert r.uq == "q=1&r=2" and r.ue == "a%20b%26c" and r.ud == "a b"
+    # url_extract_port without a port is NULL
+    t2 = runner.run_sql(
+        "select url_extract_port('https://example.com/') p "
+        "from region limit 1")
+    assert t2.columns["p"].to_pylist() == [None]
