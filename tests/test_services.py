@@ -94,3 +94,20 @@ def test_trace_token_roundtrip(conn):
         assert nxt.get("traceToken") == "tok-42"
     finally:
         srv.close()
+
+
+def test_blackhole_connector():
+    """Null sink (reference: plugin/trino-blackhole): writes swallowed,
+    reads empty, schema remembered."""
+    from presto_tpu.connector import blackhole_connector
+    r = LocalRunner(scale_factor=0.01)
+    bh = blackhole_connector()
+    r.datasource.register(bh)
+    # write through the SPI sink
+    t = r.run_sql("select r_regionkey k, r_name n from region")
+    bh.page_sink.create_table("sink1", t)
+    assert bh.metadata.rows_swallowed == 5
+    assert "sink1" in bh.metadata.list_tables()
+    # reads return zero rows through the engine
+    out = r.run_sql("select count(*) c from sink1").to_pandas()
+    assert out.c.iloc[0] == 0
