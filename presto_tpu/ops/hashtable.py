@@ -62,6 +62,35 @@ class HashTable(NamedTuple):
         return self.owner.shape[0]
 
 
+def narrow_keys(keys: Sequence[jnp.ndarray]) -> list:
+    """Split int64 key columns into order-preserving int32 word pairs.
+
+    The VPU is natively 32-bit: lax.sort over 2k int32 operands beats k
+    int64 operands (hardware-measured 1.25-1.5x at 6M rows,
+    ``docs/PERF_width.json``).  hi = signed high word; lo = low word with
+    the sign bit flipped so signed int32 order == unsigned low-word order.
+    Equality is preserved exactly, so grouping, run detection, and the
+    merged-rank lower bounds all work on the narrowed columns.  Keys
+    already <= 32-bit pass through as int32.  Disable with
+    PRESTO_TPU_NARROW_KEYS=0.
+    """
+    import os
+    if os.environ.get("PRESTO_TPU_NARROW_KEYS", "1") == "0":
+        return [k.astype(jnp.int64) for k in keys]
+    out = []
+    for k in keys:
+        if k.dtype in (jnp.int32, jnp.uint8, jnp.int8, jnp.int16,
+                       jnp.bool_):
+            out.append(k.astype(jnp.int32))
+            continue
+        k = k.astype(jnp.int64)
+        hi = (k >> 32).astype(jnp.int32)
+        lo = (k & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+        out.append(hi)
+        out.append((lo ^ jnp.uint32(0x80000000)).astype(jnp.int32))
+    return out
+
+
 def _sort_rows(keys: Sequence[jnp.ndarray], mask: jnp.ndarray):
     """Stable variadic sort: valid rows first, then lexicographic by key
     columns.  Returns (valid_sorted, keys_sorted, perm).  One lax.sort
@@ -69,9 +98,9 @@ def _sort_rows(keys: Sequence[jnp.ndarray], mask: jnp.ndarray):
     column separately costs ~100 ms per 6M-row int64 gather on TPU."""
     n = keys[0].shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    ops = ((~mask).astype(jnp.int32),
-           *[k.astype(jnp.int64) for k in keys], iota)
-    out = jax.lax.sort(ops, num_keys=1 + len(keys), is_stable=True)
+    nk = narrow_keys(keys)
+    ops = ((~mask).astype(jnp.int32), *nk, iota)
+    out = jax.lax.sort(ops, num_keys=1 + len(nk), is_stable=True)
     return out[0] == 0, list(out[1:-1]), out[-1]
 
 
@@ -191,22 +220,29 @@ def lookup(table: "HashTable", probe_keys: Sequence[jnp.ndarray],
     exact-equality verification).  Returns int32 [P], -1 = absent."""
     n = table.sorted_keys[0].shape[0]
     nb = probe_keys[0].shape[0]
-    probe64 = [k.astype(jnp.int64) for k in probe_keys]
+    nprobe = narrow_keys(probe_keys)
     from . import pallas_kernels as PK
-    if (PK.enabled() and len(table.sorted_keys) == 1
+    if (PK.enabled() and len(nprobe) == 2
+            and len(table.sorted_keys) == 2
             and n <= PK.MAX_VMEM_TABLE_SLOTS):
         # Pallas tier: sorted table pinned in VMEM for the whole stream
-        pos = PK.sorted_probe(table.sorted_keys[0], probe64[0],
-                              table.n_valid, interpret=PK._interpret())
+        # (the kernel wants the original int64; recombine the word pair)
+        def widen(hi, lo):
+            lo_u = (lo.astype(jnp.uint32) ^ jnp.uint32(0x80000000))
+            return (hi.astype(jnp.int64) << 32) | lo_u.astype(jnp.int64)
+        pos = PK.sorted_probe(
+            widen(table.sorted_keys[0], table.sorted_keys[1]),
+            widen(nprobe[0], nprobe[1]),
+            table.n_valid, interpret=PK._interpret())
     elif nb * 32 < n:
         # few probes, big table: log(n) gather rounds beat a merge sort
-        pos = _lex_search(table.sorted_keys, probe64, table.n_valid)
+        pos = _lex_search(table.sorted_keys, nprobe, table.n_valid)
     else:
-        pos = _merged_lower_bound(table.sorted_keys, probe64)
+        pos = _merged_lower_bound(table.sorted_keys, nprobe)
     posc = jnp.minimum(pos, n - 1)
     eq = pos < jnp.asarray(table.n_valid, jnp.int32)
-    for sk, pk in zip(table.sorted_keys, probe_keys):
-        eq = eq & (sk[posc] == pk.astype(jnp.int64))
+    for sk, pk in zip(table.sorted_keys, nprobe):
+        eq = eq & (sk[posc] == pk.astype(sk.dtype))
     slot = jnp.where(probe_mask & eq, table.run_of_pos[posc], -1)
     return slot.astype(jnp.int32)
 
@@ -220,8 +256,10 @@ def build(keys: Sequence[jnp.ndarray], mask: jnp.ndarray,
     sm, raw_sorted, perm = _sort_rows(keys64, mask)
     newrun = _run_starts(raw_sorted, sm)
     # invalid tail keys → +MAX sentinel so the full column is globally
-    # sorted (probe lower-bounds that land in the tail map to run -1)
-    sorted_keys = [jnp.where(sm, k, jnp.int64(2**63 - 1))
+    # sorted (probe lower-bounds that land in the tail map to run -1).
+    # raw_sorted columns are the NARROWED int32 word pairs, so the
+    # sentinel is per-dtype max.
+    sorted_keys = [jnp.where(sm, k, jnp.iinfo(k.dtype).max)
                    for k in raw_sorted]
     gid_sorted = (jnp.cumsum(newrun.astype(jnp.int32)) - 1)
     total = jnp.where(sm.any(), gid_sorted[-1] + 1, 0)

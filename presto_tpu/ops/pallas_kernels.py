@@ -73,9 +73,24 @@ def _pad_to(x, n, fill=0):
 # ---------------------------------------------------------------- masked sum
 
 def _masked_sum_kernel(lo_ref, hi_ref, mask_ref, olo_ref, ohi_ref):
+    # accumulate into one (SUBLANES, LANES) output tile revisited by every
+    # grid step (TPU block shapes must be 8×128-aligned, so a (1, 128)
+    # per-step output row is not legal — the old layout failed to lower)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        olo_ref[:] = jnp.zeros_like(olo_ref)
+        ohi_ref[:] = jnp.zeros_like(ohi_ref)
+
     m = mask_ref[:]
-    olo_ref[:] = jnp.sum(jnp.where(m, lo_ref[:], 0), axis=0, keepdims=True)
-    ohi_ref[:] = jnp.sum(jnp.where(m, hi_ref[:], 0), axis=0, keepdims=True)
+    rows = lo_ref.shape[0]
+    plo = jnp.sum(jnp.where(m, lo_ref[:], 0).reshape(
+        SUBLANES, rows // SUBLANES, LANES), axis=1)
+    phi = jnp.sum(jnp.where(m, hi_ref[:], 0).reshape(
+        SUBLANES, rows // SUBLANES, LANES), axis=1)
+    olo_ref[:] = olo_ref[:] + plo
+    ohi_ref[:] = ohi_ref[:] + phi
 
 
 _SPLIT = 18  # low bits per int32 word
@@ -110,14 +125,14 @@ def masked_sum(values: jnp.ndarray, mask: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, LANES), lambda i: (i, 0),
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (i, 0),
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((grid, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(vlo, vhi, m)

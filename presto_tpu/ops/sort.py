@@ -67,11 +67,21 @@ def argsort_multi(keys: Sequence[Tuple[jnp.ndarray, bool]],
     n = keys[0][0].shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
     for arr, desc in reversed(list(keys)):
-        k = arr.astype(jnp.int64)
+        # naturally-narrow keys (dict codes, dates) sort as int32 — the
+        # VPU is 32-bit and argsort int32 is ~1.1× int64 on v5e
+        # (docs/PERF_width.json); int64 keys stay whole here because a
+        # per-key argsort CHAIN would need two passes per split key
+        if arr.dtype in (jnp.int32, jnp.int16, jnp.int8, jnp.uint8,
+                         jnp.bool_):
+            k = arr.astype(jnp.int32)
+            sentinel = jnp.int32(2**31 - 1)
+        else:
+            k = arr.astype(jnp.int64)
+            sentinel = I64_MAX
         if desc:
             k = ~k
         if mask is not None:
-            k = jnp.where(mask, k, I64_MAX)  # invalid rows last
+            k = jnp.where(mask, k, sentinel)  # invalid rows last
         perm = perm[jnp.argsort(k[perm], stable=True)]
     if mask is not None:
         # final pass: all valid rows before invalid, preserving key order

@@ -259,3 +259,13 @@ def test_distributed_unnest_roundtrip(local, dist):
     exp = sorted(local.run_sql(sql, fused=False).to_pydict()["e"])
     got = sorted(dist.run_sql(sql).to_pydict()["e"])
     assert got == exp
+
+
+def test_distributed_mark_join_in_under_or(local, dist):
+    """IN-subquery under OR (mark semi-join) through both distributions."""
+    sql = ("select count(*) c from customer "
+           "where c_nationkey = 0 or c_custkey in "
+           "(select o_custkey from orders where o_totalprice > 400000)")
+    exp = local.run_sql(sql, fused=False).to_pandas()
+    got = dist.run_sql(sql).to_pandas()
+    assert got.c.iloc[0] == exp.c.iloc[0]
