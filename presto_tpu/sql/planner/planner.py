@@ -734,6 +734,24 @@ class Planner:
                 assert isinstance(args[1], ir.Literal)
                 d = int(args[1].value)
             return ir.Func("round", args[:1], T.decimal(38, d))
+        if name == "if":
+            # if(cond, a[, b]) is CASE sugar (reference:
+            # ``ConditionalFunctions``/parser desugaring)
+            cond = self._resolve(node.args[0], scope, outer)
+            a = self._resolve(node.args[1], scope, outer)
+            b = (self._resolve(node.args[2], scope, outer)
+                 if len(node.args) > 2 else ir.Literal(None, a.dtype))
+            rt = a.dtype
+            if not (isinstance(b, ir.Literal) and b.value is None):
+                rt = T.common_super_type(a.dtype, b.dtype)
+            return ir.Case(((cond, a),), b, rt)
+        if name in ("ifnull", "nvl"):
+            args2 = tuple(self._resolve(a, scope, outer)
+                          for a in node.args)
+            rt = args2[0].dtype
+            for a in args2[1:]:
+                rt = T.common_super_type(rt, a.dtype)
+            return ir.Func("coalesce", args2, rt)
         if name in ("coalesce", "greatest", "least"):
             rt = args[0].dtype
             for a in args[1:]:
