@@ -383,6 +383,20 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
         v = a.values.astype(jnp.float64) / (10 ** _scale_of(a.dtype))
         return DCol(T.DOUBLE, PLAIN, jnp.sqrt(v),
                     validity=_and_validity(a.validity, a.values >= 0))
+    if name == "unique_id":
+        # AssignUniqueIdOperator analogue: per-row unique int64 — shard
+        # ordinal in the high bits so ids are unique ACROSS devices of a
+        # distributed program (reference: operator/AssignUniqueIdOperator
+        # packs task id into the high bits the same way)
+        import jax as _jax
+        try:
+            shard = _jax.lax.axis_index("d").astype(jnp.int64)
+        except NameError:
+            shard = jnp.int64(0)
+        except Exception:  # noqa: BLE001 — not inside a mesh program
+            shard = jnp.int64(0)
+        return DCol(T.BIGINT, PLAIN,
+                    (shard << 40) + jnp.arange(n, dtype=jnp.int64))
     out = _eval_array_func(expr, args, n)
     if out is not None:
         return out

@@ -92,6 +92,11 @@ class PhysHashAggregate(PhysOp):
     groups: Tuple[Tuple[str, ir.Expr], ...]
     aggs: Tuple[AggSpec, ...]
     ndv_hint: int = 1024
+    # True when the hint derives from exact key statistics over an
+    # UNFILTERED input (e.g. GROUP BY a primary key with no WHERE): the
+    # traced path then allocates the hint directly instead of starting
+    # optimistic and paying a guaranteed overflow-retry recompile
+    ndv_reliable: bool = False
 
     def children(self):
         return (self.child,)

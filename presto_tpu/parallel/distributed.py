@@ -970,6 +970,11 @@ def _traced_partial_final_agg(plan: PH.PhysHashAggregate, child: Chunk,
     nd = jax.lax.axis_size("d")
     pmult = ctx.site_mult(key_node, "partial")
     opt = max(1 << 12, child.n_rows >> 4)  # optimistic; retry regrows
+    if getattr(plan, "ndv_reliable", False):
+        # exact key stats over an unfiltered input: allocate the hint,
+        # skip the guaranteed overflow-retry recompile (q18's GROUP BY
+        # l_orderkey paid 2 long tunnel compiles for nothing)
+        opt = max(opt, plan.ndv_hint)
     capacity = min(max(64, HT.capacity_for(min(plan.ndv_hint,
                                                opt))) * pmult,
                    ctx.agg_cap_limit * pmult,
@@ -1014,6 +1019,8 @@ def _replicated_local_agg(plan: PH.PhysHashAggregate, child: Chunk,
     # so assume filters/joins thinned the input (≥16×) and let the
     # overflow retry (mult ×8) regrow when a query really is group-dense
     opt = max(1 << 12, child.n_rows >> 4)
+    if getattr(plan, "ndv_reliable", False):
+        opt = max(opt, plan.ndv_hint)
     capacity = max(64, HT.capacity_for(min(plan.ndv_hint * 2, opt) * mult))
     capacity = min(capacity, HT.next_pow2(2 * child.n_rows))
     group_exprs = tuple(e for _, e in plan.groups)

@@ -720,6 +720,8 @@ class Planner:
             return ir.Func(name, args, args[0].dtype)
         if name == "mod":
             return ir.Func(name, args, T.BIGINT)
+        if name == "unique_id":
+            return ir.Func(name, args, T.BIGINT)
         if name == "length":
             return ir.Func(name, args, T.BIGINT)
         if name in ("month", "day"):
@@ -1306,10 +1308,17 @@ class Planner:
         ndv = 1
         for _, e in groups:
             ndv *= self._ndv_of(e)
+        raw_ndv = ndv
         ndv = int(min(max(ndv, 16), max(cur.est, 16)))
+        # reliable when the stats weren't capped by a selectivity-
+        # discounted estimate (unfiltered input): GROUP BY l_orderkey
+        # over the whole table really does have ndv(l_orderkey) groups
+        reliable = (cur.base > 0 and cur.est >= cur.base * 0.999
+                    and raw_ndv == ndv)
 
         plan = P.PhysHashAggregate(cur.plan, tuple(groups),
-                                   tuple(self._agg_specs), ndv_hint=ndv)
+                                   tuple(self._agg_specs), ndv_hint=ndv,
+                                   ndv_reliable=reliable)
         uk = [frozenset(n for n, _ in groups)] if groups else []
         rel = Rel(plan, post_scope, {n for n, _ in post_scope.output_names()
                                      } if False else set(post_scope.output_names()),
