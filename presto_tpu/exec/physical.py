@@ -1682,7 +1682,15 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
                              width).astype(jnp.int32)
         return DCol(_agg_output_type(spec), COL_ARRAY, packed, counts,
                     gvalid & (counts > 0), c.dictionary)
-    if spec.func in ("min", "arbitrary", "any_value"):
+    if spec.func in ("arbitrary", "any_value"):
+        # first row of each group, gathered whole — preserves every
+        # layout (DICT codes, BYTES matrices+lengths, ARRAY/MAP)
+        ridx = jnp.arange(chunk.n_rows, dtype=jnp.int64)
+        widx = A.seg_min(ridx, slot, vmask, capacity)
+        nonempty = A.seg_count(slot, vmask, capacity) > 0
+        return c.take(jnp.minimum(widx, chunk.n_rows - 1).astype(
+            jnp.int32), valid=gvalid & nonempty)
+    if spec.func == "min":
         v = (I128.pack(*I128.seg_min128(vals, slot, vmask, capacity))
              if vals.ndim == 2 else A.seg_min(vals, slot, vmask, capacity))
     elif spec.func == "max":

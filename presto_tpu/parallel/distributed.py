@@ -915,6 +915,14 @@ def merge_agg_states(plan: PH.PhysHashAggregate, partials: Chunk,
             merged[base + "#qn"] = DCol(T.BIGINT, PLAIN, mc,
                                         validity=gvalid2 & nonempty)
             continue
+        if sfunc == "arb":
+            ridx = jnp.arange(partials.n_rows, dtype=jnp.int64)
+            widx = A.seg_min(ridx, slot2, m, capacity)
+            nonempty = A.seg_count(slot2, m, capacity) > 0
+            merged[sname] = c.take(
+                jnp.minimum(widx, partials.n_rows - 1).astype(jnp.int32),
+                valid=gvalid2 & nonempty)
+            continue
         if sfunc == "hll":
             v = HLL.seg_merge(c.values, slot2, m, capacity)
         elif sfunc == "sum":
@@ -1106,6 +1114,16 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
                     DCol(T.BIGINT, PLAIN, qp, validity=gvalid)))
         out.append((f"{spec.name}#qn", "qsample_aux",
                     DCol(T.BIGINT, PLAIN, qc, validity=gvalid)))
+        return out
+    if spec.func in ("arbitrary", "any_value"):
+        # winner-row gather preserves every layout; merging partials
+        # re-picks the first surviving row per group
+        ridx = jnp.arange(chunk.n_rows, dtype=jnp.int64)
+        widx = A.seg_min(ridx, slot, vmask, capacity)
+        nonempty = A.seg_count(slot, vmask, capacity) > 0
+        out.append((f"{spec.name}#arb", "arb",
+                    c.take(jnp.minimum(widx, chunk.n_rows - 1).astype(
+                        jnp.int32), valid=gvalid & nonempty)))
         return out
     if spec.func == "sum0":
         s = A.seg_sum(c.values, slot, vmask, capacity, jnp.int64)
@@ -1300,6 +1318,8 @@ def _finalize_agg(spec: PH.AggSpec, merged: Dict[str, DCol]) -> DCol:
         else:
             v = s.values.astype(jnp.float64) / jnp.maximum(n.values, 1)
         return DCol(ot, PLAIN, v, validity=s.validity)
+    if spec.func in ("arbitrary", "any_value"):
+        return merged[f"{spec.name}#arb"]
     c = merged[f"{spec.name}#{spec.func}"]
     return DCol(ot, c.kind, c.values, validity=c.validity,
                 dictionary=c.dictionary)

@@ -1274,6 +1274,43 @@ class Planner:
             groups.append((name, e))
             group_map[e] = (name, e.dtype)
 
+        # functional-dependency pruning: group keys that are non-PK
+        # columns of a base table whose FULL primary key is also in the
+        # group list are constant per group — hash/sort only the PK and
+        # emit the dependents via arbitrary() (Q10 groups by c_custkey +
+        # SIX dependent customer columns incl. three wide varchars; the
+        # sort-based grouping kernel would otherwise carry ~40 int32
+        # sort operands).  Reference: dependent-key pruning in modern
+        # optimizers; sound because the equi-join preserves the base
+        # row's values.
+        dependents: List[Tuple[str, ir.Expr]] = []
+        if len(groups) > 1 and not getattr(self, "_grouping_ctx", None):
+            def base_table(col: str):
+                base = col.split("__")[-1]
+                pre = base.split("_")[0] + "_"
+                return SCH.COLUMN_PREFIXES and                     {v: k for k, v in SCH.COLUMN_PREFIXES.items()
+                     }.get(pre), base
+            by_tbl: Dict[str, list] = {}
+            for name, e in groups:
+                if isinstance(e, ir.ColumnRef):
+                    tbl, base = base_table(e.name)
+                    if tbl:
+                        prefix = e.name[: len(e.name) - len(base)]
+                        by_tbl.setdefault((tbl, prefix), []).append(
+                            (name, e, base))
+            prune_names = set()
+            for (tbl, prefix), cols in by_tbl.items():
+                pk = set(SCH.PRIMARY_KEYS.get(tbl, ()))
+                have = {base for _, _, base in cols}
+                if pk and pk <= have:
+                    prune_names |= {nm for nm, _, base in cols
+                                    if base not in pk}
+            if prune_names:
+                dependents = [(nm, e) for nm, e in groups
+                              if nm in prune_names]
+                groups = [(nm, e) for nm, e in groups
+                          if nm not in prune_names]
+
         self._agg_specs: List[P.AggSpec] = []
         self._agg_map: Dict[Tuple, str] = {}
         self._cur_scope = scope
@@ -1284,9 +1321,15 @@ class Planner:
         group_map.update(getattr(self, "_pre_group_aliases", {}))
         self._group_map = group_map
 
+        for name, e in dependents:
+            self._agg_specs.append(P.AggSpec(name, "arbitrary", e, False))
+            self._agg_map[("arbitrary", e, False, None, None)] = name
+
         # pre-resolve select/having/order to collect aggregates
         post_scope = Scope()
         for name, e in groups:
+            post_scope.add(None, name, name, e.dtype)
+        for name, e in dependents:
             post_scope.add(None, name, name, e.dtype)
         self._post_scope = post_scope
 
