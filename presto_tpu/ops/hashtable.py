@@ -71,11 +71,17 @@ def narrow_keys(keys: Sequence[jnp.ndarray]) -> list:
     the sign bit flipped so signed int32 order == unsigned low-word order.
     Equality is preserved exactly, so grouping, run detection, and the
     merged-rank lower bounds all work on the narrowed columns.  Keys
-    already <= 32-bit pass through as int32.  Disable with
-    PRESTO_TPU_NARROW_KEYS=0.
+    already <= 32-bit pass through as int32.
+
+    DEFAULT OFF after an A/B on hardware: the isolated 2-key int32
+    lax.sort beats 1-key int64 by 1.47x, but in the REAL kernels the
+    split arithmetic + doubled equality compares + extra sentinel
+    selects give it back (insert 95 vs 90 ms, build 514 vs 461 ms at
+    6M rows) — enable with PRESTO_TPU_NARROW_KEYS=1 to re-test on
+    future hardware/XLA versions.
     """
     import os
-    if os.environ.get("PRESTO_TPU_NARROW_KEYS", "1") == "0":
+    if os.environ.get("PRESTO_TPU_NARROW_KEYS", "0") == "0":
         return [k.astype(jnp.int64) for k in keys]
     out = []
     for k in keys:
