@@ -7,10 +7,26 @@ Usage: python bench_suite.py [SF] [--runs N] [--paths fused,ops,dist]
 """
 
 import argparse
+import hashlib
 import json
 import time
 
 import jax
+
+
+def result_checksum(table) -> str:
+    """Order-insensitive content checksum of a result Table: floats
+    rounded to 2 decimals (spec tolerance), rows sorted canonically,
+    md5 over the CSV — makes every suite artifact row self-verifying
+    (two runs/paths/hosts agreeing on (rows, checksum) agree on the
+    actual result, reference: QueryAssertions result diffing)."""
+    df = table.to_pandas()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(2)
+    df = df.astype(str)
+    rows = sorted(",".join(r) for r in df.itertuples(index=False))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()[:16]
 
 
 def main():
@@ -30,7 +46,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_enable_x64", True)
 
-    from presto_tpu.tpch.queries import QUERIES
+    from presto_tpu.tpch.queries import queries_for_sf
+    QUERIES = queries_for_sf(args.sf)  # spec-scaled substitution params
 
     if args.path == "dist":
         from presto_tpu.parallel import distributed as D
@@ -63,7 +80,8 @@ def main():
             best = min(times)
             total += best
             rec = {"query": f"q{qid:02d}", "wall_s": round(best, 4),
-                   "rows": out.row_count}
+                   "rows": out.row_count,
+                   "checksum": result_checksum(out)}
             results.append(rec)
             print(json.dumps(rec), flush=True)
         except Exception as e:  # noqa: BLE001

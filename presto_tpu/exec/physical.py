@@ -1909,11 +1909,15 @@ def _join_core(plan: PhysHashJoin, probe: Chunk, build: Chunk,
                ctx: ExecContext) -> Chunk:
     build_count = int(jnp.sum(build.mask))
     capacity = HT.capacity_for(max(build_count, 1))
+    if plan.kind == "mark":
+        # NULL build keys never equal anything — exclude them from the
+        # table (their existence is carried by the mark's has-null flag,
+        # not by raw-value matches)
+        nn, has_null = mark_build_nn(plan, build)
+        table = HT.build(_key_arrays(build, plan.build_keys), nn, capacity)
+        return _join_mark(plan, probe, build, table, has_null)
     table = _build_kernel(build, plan.build_keys, capacity)
     probe = _dynamic_filter(plan, probe, build, ctx)
-
-    if plan.kind == "mark":
-        return _join_mark(plan, probe, table)
     fast_unique = plan.unique_build and plan.filter is None
     if fast_unique and plan.kind in ("inner", "left", "semi", "anti"):
         return _join_unique(plan, probe, build, table, ctx)
@@ -2032,19 +2036,43 @@ def _join_unique_kernel(table, probe: Chunk, build: Chunk,
 
 
 @partial(jax.jit, static_argnames=("probe_keys", "mark_name"))
-def _join_mark_kernel(table, probe: Chunk, probe_keys,
-                      mark_name) -> Chunk:
+def _join_mark_kernel(table, probe: Chunk, probe_keys, mark_name,
+                      build_has_null) -> Chunk:
     slot, _ = _probe_counts_kernel(table, probe, probe_keys)
+    # SQL 3-valued IN: a row with no match is FALSE only when both the
+    # probe key and the entire build key set are NULL-free; otherwise
+    # the comparison to the NULL(s) is unknown → mark is NULL.  Matters
+    # under OR/NOT where a mark of FALSE and NULL diverge (ADVICE r4;
+    # reference semantics: SetContains with hasNull).
+    probe_valid = jnp.ones_like(slot, dtype=jnp.bool_)
+    for e in probe_keys:
+        c = eval_expr(e, probe)
+        if c.validity is not None:
+            probe_valid = probe_valid & c.validity
+    found = (slot >= 0) & probe_valid  # NULL probe key matches nothing
+    mark_valid = found | (probe_valid & ~build_has_null)
     cols = dict(probe.cols)
-    cols[mark_name] = DCol(T.BOOLEAN, PLAIN, slot >= 0)
+    cols[mark_name] = DCol(T.BOOLEAN, PLAIN, found, validity=mark_valid)
     return Chunk(cols, probe.mask)
 
 
-def _join_mark(plan, probe, table) -> Chunk:
+def mark_build_nn(plan, build: Chunk):
+    """(non-NULL build mask, local has-null flag) for a mark join —
+    NULL build keys are excluded from the table and folded into the
+    mark's validity instead."""
+    nn = build.mask
+    for e in plan.build_keys:
+        c = eval_expr(e, build)
+        if c.validity is not None:
+            nn = nn & c.validity
+    return nn, jnp.any(build.mask & ~nn)
+
+
+def _join_mark(plan, probe, build, table, has_null) -> Chunk:
     """MARK semi-join: keep every probe row, append the existence bit as
     a boolean column (consumed by OR-composed predicates)."""
     return _join_mark_kernel(table, probe, plan.probe_keys,
-                             plan.mark_name)
+                             plan.mark_name, has_null)
 
 
 def _join_unique(plan, probe, build, table, ctx) -> Chunk:

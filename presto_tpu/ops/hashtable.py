@@ -228,18 +228,30 @@ def lookup(table: "HashTable", probe_keys: Sequence[jnp.ndarray],
     nb = probe_keys[0].shape[0]
     nprobe = narrow_keys(probe_keys)
     from . import pallas_kernels as PK
-    if (PK.enabled() and len(nprobe) == 2
-            and len(table.sorted_keys) == 2
-            and n <= PK.MAX_VMEM_TABLE_SLOTS):
-        # Pallas tier: sorted table pinned in VMEM for the whole stream
-        # (the kernel wants the original int64; recombine the word pair)
-        def widen(hi, lo):
-            lo_u = (lo.astype(jnp.uint32) ^ jnp.uint32(0x80000000))
-            return (hi.astype(jnp.int64) << 32) | lo_u.astype(jnp.int64)
-        pos = PK.sorted_probe(
-            widen(table.sorted_keys[0], table.sorted_keys[1]),
-            widen(nprobe[0], nprobe[1]),
-            table.n_valid, interpret=PK._interpret())
+    # Pallas VMEM tier applies to SINGLE-int64-key joins only.  The
+    # widen() recombination is valid ONLY when the two narrowed columns
+    # are the (hi, lo^sign) word pair of one int64 key — i.e. narrowing
+    # is ON and the original key count is 1.  A genuine composite 2-key
+    # join must NOT take it (widen would truncate each key to 32 bits
+    # and miss matches for keys >= 2^31 or negative).
+    narrowed_pair = (len(probe_keys) == 1 and len(nprobe) == 2
+                     and len(table.sorted_keys) == 2)
+    plain_single = (len(probe_keys) == 1 and len(nprobe) == 1
+                    and len(table.sorted_keys) == 1)
+    if (PK.enabled() and n <= PK.MAX_VMEM_TABLE_SLOTS
+            and (narrowed_pair or plain_single)):
+        # sorted table pinned in VMEM for the whole probe stream
+        if narrowed_pair:
+            def widen(hi, lo):
+                lo_u = (lo.astype(jnp.uint32) ^ jnp.uint32(0x80000000))
+                return (hi.astype(jnp.int64) << 32) | lo_u.astype(jnp.int64)
+            skey = widen(table.sorted_keys[0], table.sorted_keys[1])
+            pkey = widen(nprobe[0], nprobe[1])
+        else:
+            skey = table.sorted_keys[0].astype(jnp.int64)
+            pkey = nprobe[0].astype(jnp.int64)
+        pos = PK.sorted_probe(skey, pkey, table.n_valid,
+                              interpret=PK._interpret())
     elif nb * 32 < n:
         # few probes, big table: log(n) gather rounds beat a merge sort
         pos = _lex_search(table.sorted_keys, nprobe, table.n_valid)

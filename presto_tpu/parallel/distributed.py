@@ -525,8 +525,19 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
                                       plan.build_payload,
                                       plan.kind), orep
     if plan.kind == "mark":
-        return PH._join_mark_kernel(table, probe, plan.probe_keys,
-                                    plan.mark_name), orep
+        # rebuild with NULL-keyed build rows excluded (NULL never
+        # equals; carried by the has-null flag instead — ADVICE r4).
+        # Under a partitioned exchange the NULL build rows live on ONE
+        # shard, so the flag must be OR-reduced across the mesh.
+        nn, has_null = PH.mark_build_nn(plan, build)
+        partitioned = (plan.dist_type == "partitioned"
+                       and not ctx.single and not brep)
+        if partitioned:
+            has_null = jax.lax.pmax(has_null.astype(jnp.int32), "d") > 0
+        mtable = HT.build(PH._key_arrays(build, plan.build_keys), nn,
+                          capacity)
+        return PH._join_mark_kernel(mtable, probe, plan.probe_keys,
+                                    plan.mark_name, has_null), orep
     if plan.kind in ("semi", "anti"):
         if plan.filter is None:
             slot = PH._probe_counts_kernel(table, probe, plan.probe_keys)[0]

@@ -129,6 +129,16 @@ class Planner:
         self.ctes: Dict[str, ast.Select] = {}
         # non-tpch connector tables: name → [(col, type)]
         self.extra_tables: Dict[str, list] = extra_tables or {}
+        # physical column name → (table, base_col, scan_instance_id) when
+        # the column is a verbatim passthrough of an unmodified tpch
+        # base-table scan, or None when the name has been (re)defined by
+        # any other producer (memory table, computed projection, set op).
+        # Consulted by the functional-dependency group-key pruning in
+        # apply_aggregation — name-prefix inference alone mis-fired on
+        # memory/CTAS tables that merely reuse tpch column names, and the
+        # instance id keeps self-joins re-exported through one subquery
+        # from mixing two scans of the same table into one FD group.
+        self._base_prov: Dict[str, Optional[Tuple[str, str, int]]] = {}
         # name → (row_count, primary_key) from connector metadata (the
         # ConnectorMetadata.getTableStatistics seam)
         self.extra_stats: Dict[str, tuple] = extra_stats or {}
@@ -136,6 +146,15 @@ class Planner:
     def fresh(self, base: str) -> str:
         self.counter += 1
         return f"${base}{self.counter}"
+
+    def _register_prov(self, phys: str,
+                       prov: Optional[Tuple[str, str, int]]):
+        """Record (or conflict-poison) base-table provenance for a
+        physical column name.  A name defined twice with differing
+        provenance is poisoned to None — FD pruning then never fires
+        on it (conservative, always sound)."""
+        prev = self._base_prov.get(phys, prov)
+        self._base_prov[phys] = prov if prev == prov else None
 
     # aggregation-resolution state is per-SELECT; nested subquery planning
     # saves and restores it (fixes HAVING subqueries clobbering outer state)
@@ -233,6 +252,7 @@ class Planner:
         scope = Scope()
         for ln in lnames:
             scope.add(None, ln, ln, left.scope.resolve((ln,))[1])
+            self._base_prov[ln] = None  # mixed-branch values: no FD
         types = {ln: left.scope.resolve((ln,))[1] for ln in lnames}
         gb = tuple((n, ir.ColumnRef(n, types[n])) for n in lnames)
 
@@ -291,9 +311,12 @@ class Planner:
         cols = set()
         strip = SCH.COLUMN_PREFIXES[name]
         alias = ref.alias or name
+        self.counter += 1
+        scan_id = self.counter if prefix else 0  # unaliased scans share id
         for cname, ctype in SCH.TABLE_SCHEMAS[name]:
             phys = prefix + cname
             cols.add(phys)
+            self._register_prov(phys, (name, cname, scan_id))
             scope.add(alias, cname, phys, ctype)
             if cname.startswith(strip):
                 scope.add(alias, cname[len(strip):], phys, ctype)
@@ -450,6 +473,7 @@ class Planner:
         for cname, ctype in cols_types:
             phys = prefix + cname
             cols.add(phys)
+            self._base_prov[phys] = None  # not a tpch base column
             scope.add(alias, cname, phys, ctype)
         plan = P.PhysScan(name, tuple(c for c, _ in cols_types),
                           alias_prefix=prefix)
@@ -473,6 +497,11 @@ class Planner:
                 projections.append(
                     (rename[phys], ir.ColumnRef(phys, ctype)))
                 cols.add(rename[phys])
+                # passthrough of a base column keeps its provenance (a
+                # derived table re-exporting scan columns verbatim is
+                # still FD-sound); anything else is poisoned
+                self._register_prov(rename[phys],
+                                    self._base_prov.get(phys))
             scope.add(alias, cname, rename[phys], ctype)
         plan = P.PhysProject(sub.plan, tuple(projections))
         uk = [frozenset(rename.get(c, c) for c in k) for k in sub.unique_keys
@@ -1009,6 +1038,12 @@ class Planner:
                 while any(n == f"{name}_{k}" for n, _ in items):
                     k += 1
                 name = f"{name}_{k}"
+            # output naming: a pure column rename transfers base-table
+            # provenance; a computed expression poisons the output name
+            if name != getattr(e, "name", None):
+                self._register_prov(
+                    name, self._base_prov.get(e.name)
+                    if isinstance(e, ir.ColumnRef) else None)
             items.append((name, e))
 
         proj = P.PhysProject(cur.plan, tuple(items))
@@ -1285,21 +1320,22 @@ class Planner:
         # row's values.
         dependents: List[Tuple[str, ir.Expr]] = []
         if len(groups) > 1 and not getattr(self, "_grouping_ctx", None):
-            def base_table(col: str):
-                base = col.split("__")[-1]
-                pre = base.split("_")[0] + "_"
-                return SCH.COLUMN_PREFIXES and                     {v: k for k, v in SCH.COLUMN_PREFIXES.items()
-                     }.get(pre), base
-            by_tbl: Dict[str, list] = {}
+            # provenance-gated: a key participates only when its physical
+            # column provably passes through unmodified from ONE tpch
+            # base-table scan instance (tracked by _register_prov; poisoned
+            # for memory tables, computed outputs, set ops, or conflicting
+            # definitions) — name-prefix matching alone returned wrong
+            # GROUP BY results on CTAS tables reusing tpch column names
+            by_tbl: Dict[Tuple[str, int], list] = {}
             for name, e in groups:
                 if isinstance(e, ir.ColumnRef):
-                    tbl, base = base_table(e.name)
-                    if tbl:
-                        prefix = e.name[: len(e.name) - len(base)]
-                        by_tbl.setdefault((tbl, prefix), []).append(
+                    prov = self._base_prov.get(e.name)
+                    if prov is not None:
+                        tbl, base, scan_id = prov
+                        by_tbl.setdefault((tbl, scan_id), []).append(
                             (name, e, base))
             prune_names = set()
-            for (tbl, prefix), cols in by_tbl.items():
+            for (tbl, _sid), cols in by_tbl.items():
                 pk = set(SCH.PRIMARY_KEYS.get(tbl, ()))
                 have = {base for _, _, base in cols}
                 if pk and pk <= have:

@@ -578,7 +578,11 @@ def generate(table: str, sf: float) -> Table:
         # weekly snapshots × item × warehouse (spec join structure)
         items = S.row_count("item", sf)
         warehouses = S.row_count("warehouse", sf)
-        weeks = np.maximum(n // max(items * warehouses, 1), 1)
+        # ceil so weeks*items*warehouses >= n: the mixed-radix decode of
+        # iw is then injective, keeping (date, item, warehouse) UNIQUE —
+        # schema.PRIMARY_KEYS declares the triple as the table PK and
+        # unique-build join detection relies on it (ADVICE r4)
+        weeks = max(-(-n // max(items * warehouses, 1)), 1)
         iw = ids.astype(np.int64)
         cols["inv_date_sk"] = Column(
             T.BIGINT, LO_SK + (iw % weeks) * 7)

@@ -316,3 +316,19 @@ group by cntrycode
 order by cntrycode
 """,
 }
+
+
+def queries_for_sf(sf: float) -> dict:
+    """Spec-correct per-SF substitution parameters.
+
+    Q11's HAVING fraction is defined as 0.0001 / SF (TPC-H spec 2.14.3 —
+    the reference generator substitutes it per scale factor); the static
+    text above carries the SF1 value, so benchmarking SF>1 with it
+    returns a near-empty (SF10: empty) result.  All other validation
+    parameters are SF-independent."""
+    q = dict(QUERIES)
+    if sf and sf != 1.0:
+        frac = 0.0001 / float(sf)
+        lit = f"{frac:.12f}".rstrip("0")
+        q[11] = q[11].replace("0.0001000", lit)
+    return q

@@ -72,3 +72,52 @@ def test_query_results_identical_with_pallas_tier(pallas_interpret):
         [c.to_pylist() for c in r2.run_sql(QUERIES[6]).columns.values()]
     assert [c.to_pylist() for c in q4.columns.values()] == \
         [c.to_pylist() for c in r2.run_sql(QUERIES[4]).columns.values()]
+
+
+def test_composite_2key_join_not_truncated(pallas_interpret):
+    """ADVICE r4 (medium): a genuine composite 2-key int64 join must NOT
+    take the widen() recombination (which assumes the two columns are the
+    word pair of ONE narrowed int64 key) — keys >= 2^31 or negative would
+    be truncated to 32 bits and miss matches."""
+    rng = np.random.default_rng(3)
+    k1 = rng.integers(-2**40, 2**40, size=400).astype(np.int64)
+    k2 = rng.integers(-2**40, 2**40, size=400).astype(np.int64)
+    # probes: half real matches, half misses
+    idx = rng.choice(400, 200, replace=False)
+    p1 = np.concatenate([k1[idx],
+                         rng.integers(2**41, 2**42, 200)]).astype(np.int64)
+    p2 = np.concatenate([k2[idx],
+                         rng.integers(2**41, 2**42, 200)]).astype(np.int64)
+    cap = HT.capacity_for(400)
+    table = HT.build([jnp.asarray(k1), jnp.asarray(k2)],
+                     jnp.ones(400, bool), cap)
+    mask = jnp.ones(400, bool)
+    got = np.asarray(HT.lookup(table, [jnp.asarray(p1), jnp.asarray(p2)],
+                               mask))
+    PK.configure("off")
+    want = np.asarray(HT.lookup(table, [jnp.asarray(p1), jnp.asarray(p2)],
+                                mask))
+    np.testing.assert_array_equal(got, want)
+    assert (got[:200] >= 0).all()          # real matches found
+    assert (got[200:] == -1).all()         # misses stay misses
+
+
+def test_single_key_pallas_path_reached(pallas_interpret, monkeypatch):
+    """At default settings (no key narrowing) the single-int64-key join
+    must still reach the Pallas VMEM tier."""
+    import presto_tpu.ops.pallas_kernels as PKmod
+    calls = []
+    orig = PKmod.sorted_probe
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(PKmod, "sorted_probe", spy)
+    rng = np.random.default_rng(4)
+    build = jnp.asarray(rng.choice(10**7, size=300, replace=False)
+                        .astype(np.int64))
+    probe = jnp.asarray(rng.integers(0, 10**7, size=1000).astype(np.int64))
+    table = HT.build([build], jnp.ones(300, bool), HT.capacity_for(300))
+    HT.lookup(table, [probe], jnp.ones(1000, bool))
+    assert calls, "single-int64-key lookup no longer reaches the Pallas tier"
