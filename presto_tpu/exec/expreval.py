@@ -291,6 +291,10 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
         a = args[0]
         fs = _scale_of(a.dtype)
         ts = _scale_of(expr.dtype)
+        if isinstance(a.dtype, T.DoubleType):
+            out = jnp.round(a.values.astype(jnp.float64) * (10.0 ** ts)) \
+                .astype(jnp.int64)
+            return DCol(expr.dtype, PLAIN, out, validity=a.validity)
         return DCol(expr.dtype, PLAIN,
                     D.rescale(a.values.astype(jnp.int64), fs, ts),
                     validity=a.validity)
@@ -397,6 +401,12 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
             shard = jnp.int64(0)
         return DCol(T.BIGINT, PLAIN,
                     (shard << 40) + jnp.arange(n, dtype=jnp.int64))
+    out = _eval_math_func(expr, args, n)
+    if out is not None:
+        return out
+    out = _eval_misc_func(expr, args, n)
+    if out is not None:
+        return out
     out = _eval_array_func(expr, args, n)
     if out is not None:
         return out
@@ -407,6 +417,371 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
     if out is not None:
         return out
     raise NotImplementedError(f"scalar function {name}")
+
+
+# ------------------------------------------------------- math functions
+
+def _as_double(col: DCol) -> jnp.ndarray:
+    """Numeric column → float64 values (decimals divide out their scale)."""
+    return col.values.astype(jnp.float64) / float(10 ** _scale_of(col.dtype))
+
+
+_UNARY_DOUBLE = {
+    "exp": jnp.exp, "cbrt": jnp.cbrt, "sin": jnp.sin, "cos": jnp.cos,
+    "tan": jnp.tan, "asin": jnp.arcsin, "acos": jnp.arccos,
+    "atan": jnp.arctan, "sinh": jnp.sinh, "cosh": jnp.cosh,
+    "tanh": jnp.tanh, "degrees": jnp.degrees, "radians": jnp.radians,
+}
+
+
+def _eval_math_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
+    """Math/bitwise family (reference: ``operator/scalar/MathFunctions.java``
+    + ``BitwiseFunctions.java``) — elementwise VPU ops, XLA fuses them
+    into the surrounding program."""
+    name = expr.name
+    if name in _UNARY_DOUBLE:
+        a = args[0]
+        return DCol(T.DOUBLE, PLAIN, _UNARY_DOUBLE[name](_as_double(a)),
+                    validity=a.validity)
+    if name in ("ln", "log10", "log2"):
+        a = args[0]
+        v = _as_double(a)
+        f = {"ln": jnp.log, "log10": jnp.log10, "log2": jnp.log2}[name]
+        return DCol(T.DOUBLE, PLAIN, f(jnp.where(v > 0, v, 1.0)),
+                    validity=_and_validity(a.validity, v > 0))
+    if name == "log":           # log(base, x)
+        b, a = args
+        vb, va = _as_double(b), _as_double(a)
+        ok = (va > 0) & (vb > 0) & (vb != 1.0)
+        out = jnp.log(jnp.where(va > 0, va, 1.0)) / \
+            jnp.log(jnp.where(ok, vb, 2.0))
+        return DCol(T.DOUBLE, PLAIN, out,
+                    validity=_and_validity(a.validity, b.validity, ok))
+    if name in ("power", "pow"):
+        a, b = args
+        return DCol(T.DOUBLE, PLAIN,
+                    jnp.power(_as_double(a), _as_double(b)),
+                    validity=_and_validity(a.validity, b.validity))
+    if name == "atan2":
+        a, b = args
+        return DCol(T.DOUBLE, PLAIN,
+                    jnp.arctan2(_as_double(a), _as_double(b)),
+                    validity=_and_validity(a.validity, b.validity))
+    if name in ("ceil", "ceiling", "floor"):
+        a = args[0]
+        s = _scale_of(a.dtype)
+        up = name in ("ceil", "ceiling")
+        if isinstance(a.dtype, T.DoubleType):
+            f = jnp.ceil if up else jnp.floor
+            return DCol(T.DOUBLE, PLAIN, f(a.values.astype(jnp.float64)),
+                        validity=a.validity)
+        v = a.values.astype(jnp.int64)
+        if s:
+            p = jnp.int64(10 ** s)
+            v = (v + (p - 1 if up else 0)) // p if up else \
+                jnp.floor_divide(v, p)
+        return DCol(expr.dtype, PLAIN, v, validity=a.validity)
+    if name == "sign":
+        a = args[0]
+        if isinstance(a.dtype, T.DoubleType):
+            return DCol(T.DOUBLE, PLAIN, jnp.sign(a.values),
+                        validity=a.validity)
+        return DCol(expr.dtype, PLAIN,
+                    jnp.sign(a.values).astype(jnp.int64),
+                    validity=a.validity)
+    if name == "truncate":
+        a = args[0]
+        v = _as_double(a)
+        return DCol(T.DOUBLE, PLAIN, jnp.trunc(v), validity=a.validity)
+    if name in ("pi", "e"):
+        import math
+        c = math.pi if name == "pi" else math.e
+        return DCol(T.DOUBLE, PLAIN, jnp.full((n,), c, jnp.float64))
+    if name in ("infinity", "nan"):
+        c = jnp.inf if name == "infinity" else jnp.nan
+        return DCol(T.DOUBLE, PLAIN, jnp.full((n,), c, jnp.float64))
+    if name in ("is_nan", "is_finite", "is_infinite"):
+        a = args[0]
+        v = _as_double(a)
+        f = {"is_nan": jnp.isnan, "is_finite": jnp.isfinite,
+             "is_infinite": jnp.isinf}[name]
+        return DCol(T.BOOLEAN, PLAIN, f(v), validity=a.validity)
+    if name == "width_bucket":
+        x, lo, hi, k = (_as_double(a) for a in args)
+        frac = (x - lo) / jnp.where(hi != lo, hi - lo, 1.0)
+        b = jnp.clip(jnp.floor(frac * k).astype(jnp.int64) + 1,
+                     0, k.astype(jnp.int64) + 1)
+        return DCol(T.BIGINT, PLAIN, b,
+                    validity=_and_validity(*(a.validity for a in args)))
+    if name in ("bitwise_and", "bitwise_or", "bitwise_xor"):
+        a, b = args
+        va, vb = a.values.astype(jnp.int64), b.values.astype(jnp.int64)
+        out = {"bitwise_and": va & vb, "bitwise_or": va | vb,
+               "bitwise_xor": va ^ vb}[name]
+        return DCol(T.BIGINT, PLAIN, out,
+                    validity=_and_validity(a.validity, b.validity))
+    if name == "bitwise_not":
+        a = args[0]
+        return DCol(T.BIGINT, PLAIN, ~a.values.astype(jnp.int64),
+                    validity=a.validity)
+    if name == "bit_count":
+        from jax import lax
+        a = args[0]
+        bits = 64
+        if len(args) > 1:
+            assert isinstance(expr.args[1], ir.Literal)
+            bits = int(expr.args[1].value)
+        v = a.values.astype(jnp.int64)
+        if bits < 64:                 # interpret low `bits` as signed
+            v = v & jnp.int64((1 << bits) - 1)
+        cnt = lax.population_count(jax_view_u64(v))
+        return DCol(T.BIGINT, PLAIN, cnt.astype(jnp.int64),
+                    validity=a.validity)
+    if name in ("bitwise_left_shift", "bitwise_right_shift",
+                "bitwise_right_shift_arithmetic"):
+        a, b = args
+        va = a.values.astype(jnp.int64)
+        sh = jnp.clip(b.values.astype(jnp.int64), 0, 63)
+        if name == "bitwise_left_shift":
+            out = va << sh
+        elif name == "bitwise_right_shift":    # logical
+            out = jax_view_i64(jax_view_u64(va) >> sh.astype(jnp.uint64))
+        else:                                  # arithmetic
+            out = va >> sh
+        return DCol(T.BIGINT, PLAIN, out,
+                    validity=_and_validity(a.validity, b.validity))
+    return None
+
+
+def _col_py_values(col: DCol):
+    """Host python values of a column (op path only — tracers raise)."""
+    import jax.core as jc
+    if isinstance(col.values, jc.Tracer):
+        raise NotImplementedError("host-eval function inside a fused "
+                                  "program (runs on the op path)")
+    if col.kind == DICT:
+        codes = np.asarray(col.values)
+        return [str(col.dictionary.strings[c]) for c in codes]
+    if col.kind == BYTES:
+        return list(_host_decode(col))
+    vals = np.asarray(col.values)
+    if T.is_decimal(col.dtype) and _scale_of(col.dtype):
+        return [v / (10 ** _scale_of(col.dtype)) for v in vals.tolist()]
+    if isinstance(col.dtype, T.DateType):
+        import datetime as _dt
+        return [_dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+                for v in vals.tolist()]
+    return vals.tolist()
+
+
+def _strings_result(strs, validity, dtype) -> DCol:
+    from .columns import Dictionary
+    uniq, codes = np.unique(np.array(strs, dtype=str), return_inverse=True)
+    return DCol(dtype, DICT, jnp.asarray(codes.astype(np.int32)),
+                validity=validity, dictionary=Dictionary(
+                    uniq.astype(object)))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _array_member_mask(a: DCol, b: DCol):
+    """[N, Wa] bool: a's element (within its length) appears in b's row
+    set (within b's length).  Numeric elements only."""
+    va = a.values
+    vb = b.values
+    la = a.lengths[:, None]
+    lb = b.lengths[:, None]
+    ina = jnp.arange(va.shape[1])[None, :] < la
+    inb = jnp.arange(vb.shape[1])[None, :] < lb
+    eq = (va[:, :, None] == vb[:, None, :]) & inb[:, None, :]
+    return ina, jnp.any(eq, axis=2) & ina
+
+
+def _array_first_occurrence(v: jnp.ndarray, within: jnp.ndarray):
+    """[N, W] bool: element is the FIRST occurrence of its value in the
+    row (dedup mask — Trino's set-returning array fns emit distinct)."""
+    w = v.shape[1]
+    same = (v[:, :, None] == v[:, None, :]) \
+        & within[:, None, :] & within[:, :, None]
+    earlier = jnp.tril(jnp.ones((w, w), jnp.bool_), k=-1)[None]
+    return within & ~jnp.any(same & earlier, axis=2)
+
+
+def _array_select(col: DCol, keep: jnp.ndarray, out_dtype) -> DCol:
+    """Per-row compaction of kept elements to the left (stable)."""
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    vals = jnp.take_along_axis(col.values, order, axis=1)
+    lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return DCol(out_dtype, ARRAY, vals, lengths, col.validity,
+                col.dictionary)
+
+
+def _eval_misc_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
+    """Breadth batch (round 5): formatting, parsing, distance, array set
+    ops, uuid (reference: ``operator/scalar/`` FormatFunction /
+    DateTimeFunctions.date_parse / ArrayDistinctFunction family)."""
+    name = expr.name
+    if name == "concat_ws":
+        sep = _lit_str(expr.args[0])
+        cols = [_col_py_values(a) for a in args[1:]]
+        strs = [sep.join(str(v) for v in row) for row in zip(*cols)]
+        return _strings_result(
+            strs, _and_validity(*(a.validity for a in args[1:])),
+            expr.dtype)
+    if name == "uuid":
+        # deterministic per (query, row): splitmix64 stream formatted as
+        # RFC-4122 v4 (the reference's UuidOperators returns a UUID type;
+        # varchar(36) here — no UUID column type)
+        from ..tpcds.generator import _mix
+        ids = _mix(np.arange(n, dtype=np.uint64), 0x75756964)
+        lo = _mix(np.arange(n, dtype=np.uint64), 0x75756932)
+        strs = []
+        for h, l in zip(ids.tolist(), lo.tolist()):
+            hx = f"{h:016x}", f"{l:016x}"
+            s = hx[0] + hx[1]
+            strs.append(f"{s[:8]}-{s[8:12]}-4{s[13:16]}-a{s[17:20]}-"
+                        f"{s[20:32]}")
+        return _strings_result(strs, None, expr.dtype)
+    if name == "format":
+        fmt = _lit_str(expr.args[0])
+        cols = [_col_py_values(a) for a in args[1:]]
+        strs = [fmt % tuple(row) if cols else fmt for row in zip(*cols)] \
+            if cols else [fmt] * n
+        return _strings_result(
+            strs, _and_validity(*(a.validity for a in args[1:])),
+            expr.dtype)
+    if name in ("date_parse", "parse_datetime"):
+        import datetime as _dt
+        a = args[0]
+        fmt = _lit_str(expr.args[1])
+        if name == "date_parse":     # MySQL specifiers → strptime
+            _mysql = {"%i": "%M", "%s": "%S", "%M": "%B", "%W": "%A"}
+            fmt = re.sub(r"%.", lambda m: _mysql.get(m.group(0),
+                                                     m.group(0)), fmt)
+        else:                        # Joda-ish subset
+            _joda = {"yyyy": "%Y", "MM": "%m", "dd": "%d",
+                     "HH": "%H", "mm": "%M", "ss": "%S"}
+            fmt = re.sub(r"yyyy|MM|dd|HH|mm|ss",
+                         lambda m: _joda[m.group(0)], fmt)
+        strs = _col_py_values(a)
+        uniq = sorted(set(strs))
+        us_of = {}
+        epoch = _dt.datetime(1970, 1, 1)
+        for s in uniq:
+            t = _dt.datetime.strptime(s, fmt)
+            us_of[s] = int((t - epoch).total_seconds() * 1e6)
+        vals = np.array([us_of[s] for s in strs], np.int64)
+        return DCol(expr.dtype, PLAIN, jnp.asarray(vals),
+                    validity=args[0].validity)
+    if name in ("levenshtein_distance", "hamming_distance"):
+        a, b = args
+        sa, sb = _col_py_values(a), _col_py_values(b)
+        if name == "hamming_distance":
+            out, ok = [], []
+            for x, y in zip(sa, sb):
+                ok.append(len(x) == len(y))
+                out.append(sum(c1 != c2 for c1, c2 in zip(x, y))
+                           if len(x) == len(y) else 0)
+            valid = _and_validity(a.validity, b.validity,
+                                  jnp.asarray(np.array(ok)))
+        else:
+            out = [_levenshtein(x, y) for x, y in zip(sa, sb)]
+            valid = _and_validity(a.validity, b.validity)
+        return DCol(T.BIGINT, PLAIN,
+                    jnp.asarray(np.array(out, np.int64)), validity=valid)
+    if name == "slice":
+        a = args[0]
+        assert isinstance(expr.args[1], ir.Literal) \
+            and isinstance(expr.args[2], ir.Literal), \
+            "slice bounds must be literals (static shapes)"
+        start = int(expr.args[1].value)
+        ln = int(expr.args[2].value)
+        assert start >= 1, "slice start must be positive"
+        vals = a.values[:, start - 1: start - 1 + ln]
+        lengths = jnp.clip(a.lengths - (start - 1), 0, ln)
+        return DCol(expr.dtype, ARRAY, vals, lengths.astype(jnp.int32),
+                    a.validity, a.dictionary)
+    if name == "repeat":
+        a = args[0]
+        assert isinstance(expr.args[1], ir.Literal), \
+            "repeat count must be a literal (static shapes)"
+        k = max(int(expr.args[1].value), 0)
+        vals = jnp.repeat(a.values[:, None], max(k, 1), axis=1) if k \
+            else jnp.zeros((n, 0), a.values.dtype)
+        return DCol(expr.dtype, ARRAY, vals,
+                    jnp.full((n,), k, jnp.int32), a.validity,
+                    a.dictionary)
+    if name == "array_join":
+        a = args[0]
+        sep = _lit_str(expr.args[1])
+        import jax.core as jc
+        if isinstance(a.values, jc.Tracer):
+            raise NotImplementedError("array_join inside a fused program")
+        vals = np.asarray(a.values)
+        lens = np.asarray(a.lengths)
+        es = _scale_of(a.dtype.element)
+        strs = []
+        for row, ln in zip(vals, lens):
+            elems = row[:ln].tolist()
+            if es:
+                elems = [e / (10 ** es) for e in elems]
+            strs.append(sep.join(str(e) for e in elems))
+        return _strings_result(strs, a.validity, T.VARCHAR)
+    if name == "arrays_overlap":
+        a, b = args
+        _, member = _array_member_mask(a, b)
+        return DCol(T.BOOLEAN, PLAIN, jnp.any(member, axis=1),
+                    validity=_and_validity(a.validity, b.validity))
+    if name in ("array_except", "array_intersect", "array_union"):
+        a, b = args
+        ina, in_b = _array_member_mask(a, b)
+        first = _array_first_occurrence(a.values, ina)
+        if name == "array_except":
+            return _array_select(a, first & ~in_b, expr.dtype)
+        if name == "array_intersect":
+            return _array_select(a, first & in_b, expr.dtype)
+        # union: distinct(a) ++ (distinct(b) minus a) — concat columns
+        inb_w, b_in_a = _array_member_mask(b, a)
+        firstb = _array_first_occurrence(b.values, inb_w)
+        da = _array_select(a, first, expr.dtype)
+        db = _array_select(b, firstb & ~b_in_a, expr.dtype)
+        vals = jnp.concatenate([da.values, db.values], axis=1)
+        # shift db's kept elements to start after da's length
+        w_a, w_b = da.values.shape[1], db.values.shape[1]
+        pos = jnp.arange(w_a + w_b)[None, :]
+        keep = (pos < da.lengths[:, None]) | \
+            ((pos >= w_a) & (pos - w_a < db.lengths[:, None]))
+        out = _array_select(
+            DCol(expr.dtype, ARRAY, vals,
+                 (da.lengths + db.lengths).astype(jnp.int32),
+                 None, a.dictionary),
+            keep, expr.dtype)
+        return DCol(expr.dtype, ARRAY, out.values,
+                    (da.lengths + db.lengths).astype(jnp.int32),
+                    _and_validity(a.validity, b.validity), a.dictionary)
+    return None
+
+
+def jax_view_u64(v: jnp.ndarray) -> jnp.ndarray:
+    """Bit-preserving int64 → uint64 (lax.bitcast, not a value cast)."""
+    from jax import lax
+    return lax.bitcast_convert_type(v, jnp.uint64)
+
+
+def jax_view_i64(v: jnp.ndarray) -> jnp.ndarray:
+    from jax import lax
+    return lax.bitcast_convert_type(v, jnp.int64)
 
 
 # ------------------------------------------------------- string functions
@@ -531,12 +906,13 @@ def _eval_string_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
     if name.startswith("url_extract_") or name in ("url_encode",
                                                    "url_decode"):
         # reference: operator/scalar/UrlFunctions.java
-        from urllib.parse import urlsplit, quote, unquote
+        from urllib.parse import urlsplit, quote_plus, unquote_plus
         if name == "url_encode":
-            return _string_transform(a, lambda s: quote(s, safe=""),
+            # form-encoding: space -> '+' (UrlFunctions.urlEncode)
+            return _string_transform(a, lambda s: quote_plus(s),
                                      expr.dtype)
         if name == "url_decode":
-            return _string_transform(a, unquote, expr.dtype)
+            return _string_transform(a, unquote_plus, expr.dtype)
         part = name[len("url_extract_"):]
         if part == "port":
             def fport(s):
@@ -713,8 +1089,51 @@ def _eval_date_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
     name = expr.name
     if name not in ("day_of_week", "dow", "day_of_year", "doy", "quarter",
                     "week", "date_trunc", "date_add", "date_diff",
-                    "date_format", "format_datetime"):
+                    "date_format", "format_datetime", "hour", "minute",
+                    "second", "millisecond", "year_of_week", "yow",
+                    "last_day_of_month", "from_unixtime", "to_unixtime"):
         return None
+    if name in ("hour", "minute", "second", "millisecond"):
+        a = args[0]
+        us = a.values.astype(jnp.int64)
+        if not isinstance(a.dtype, T.TimestampType):
+            us = us * 86_400_000_000   # date at midnight
+        tod = us - jnp.floor_divide(us, 86_400_000_000) * 86_400_000_000
+        div = {"hour": 3_600_000_000, "minute": 60_000_000,
+               "second": 1_000_000, "millisecond": 1_000}[name]
+        m = {"hour": 24, "minute": 60, "second": 60,
+             "millisecond": 1000}[name]
+        return DCol(T.BIGINT, PLAIN, (tod // div) % m, validity=a.validity)
+    if name in ("year_of_week", "yow"):
+        a = args[0]
+        days = _to_days(a)
+        dow = (days + 3) % 7 + 1
+        thursday = days + (4 - dow)          # ISO week-year rule
+        y, _, _ = civil_from_days(thursday)
+        return DCol(T.BIGINT, PLAIN, y.astype(jnp.int64),
+                    validity=a.validity)
+    if name == "last_day_of_month":
+        a = args[0]
+        days = _to_days(a)
+        y, m, _ = civil_from_days(days)
+        ny = jnp.where(m == 12, y + 1, y)
+        nm = jnp.where(m == 12, 1, m + 1)
+        first_next = days_from_civil(ny, nm, jnp.int64(1))
+        return DCol(T.DATE, PLAIN, (first_next - 1).astype(jnp.int64),
+                    validity=a.validity)
+    if name == "from_unixtime":
+        a = args[0]
+        us = (_as_double(a) * 1e6).astype(jnp.int64)
+        return DCol(T.TimestampType(precision=3), PLAIN, us,
+                    validity=a.validity)
+    if name == "to_unixtime":
+        a = args[0]
+        v = a.values.astype(jnp.float64)
+        if isinstance(a.dtype, T.TimestampType):
+            v = v / 1e6
+        else:
+            v = v * 86400.0
+        return DCol(T.DOUBLE, PLAIN, v, validity=a.validity)
     if name in ("date_trunc", "date_add", "date_diff"):
         unit = _lit_str(expr.args[0]).lower()
     if name in ("day_of_week", "dow"):
@@ -1222,6 +1641,23 @@ def _arith(expr: ir.Arith, chunk: Chunk) -> DCol:
         # DECIMAL(p>18) results are real int128 values (a short×short
         # product typed long would silently wrap in int64)
         return _arith_i128(expr, l, r, valid, rs)
+    if isinstance(expr.dtype, T.DoubleType) \
+            or isinstance(lt, T.DoubleType) or isinstance(rt, T.DoubleType):
+        # DOUBLE arithmetic stays in float64 (the int64 decimal path
+        # would truncate the fraction)
+        lv, rv = _as_double(l), _as_double(r)
+        if expr.op == "+":
+            out = lv + rv
+        elif expr.op == "-":
+            out = lv - rv
+        elif expr.op == "*":
+            out = lv * rv
+        elif expr.op == "/":
+            out = lv / jnp.where(rv != 0, rv, 1.0)
+            valid = _and_validity(valid, rv != 0)
+        else:
+            raise ValueError(expr.op)
+        return DCol(T.DOUBLE, PLAIN, out, validity=valid)
     lv = l.values.astype(jnp.int64)
     rv = r.values.astype(jnp.int64)
     if expr.op in ("+", "-"):

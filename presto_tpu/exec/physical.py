@@ -132,6 +132,13 @@ class PhysHashJoin(PhysOp):
     # traced programs, so broadcast memory follows the unfiltered scan
     # cardinality, not the selectivity-discounted estimate)
     build_cap_est: float = -1.0
+    # planner's estimate of LIVE output rows (selectivity-discounted):
+    # the traced path compacts the output buffer down to ~this capacity
+    # when it is far below the probe buffer, so downstream sorts/groups
+    # run over the surviving rows, not the padded scan shape (the
+    # reference streams probe pages so its downstream operators never
+    # see dead rows; one compaction pass is the whole-program analogue)
+    out_est: float = -1.0
     # distribution (reference: JoinNode.DistributionType, set by the
     # add_exchanges pass — sql/planner/distribution.py):
     dist_type: str = "replicated"   # replicated | partitioned

@@ -509,6 +509,29 @@ def _traced_dynamic_filter(plan: PH.PhysHashJoin, probe: Chunk,
     return Chunk(probe.cols, probe.mask & (pv >= gmin) & (pv <= gmax))
 
 
+def _shrink_traced(plan, out: Chunk, ctx: TraceCtx) -> Chunk:
+    """Compact a sparse join output to a selectivity-estimated static
+    capacity INSIDE the traced program (no host sync): one argsort of the
+    mask + gathers, so every downstream sort/group/exchange runs over
+    ~surviving rows instead of the padded scan shape.  Q3-SF10 shape: a
+    60M-slot buffer with ~1M live rows fed a 3-key grouping sort — the
+    compaction pays one 1-key sort to avoid a multi-operand one.  The
+    overflow-retry loop regrows the capacity ×8 when the planner's
+    estimate was low (same contract as exchange buckets).  Reference:
+    ``operator/join/DefaultPageJoiner.java`` streams probe pages and
+    never materializes dead rows; this is the whole-program analogue."""
+    est = getattr(plan, "out_est", -1.0)
+    if est <= 0 or ctx is None or not out.cols:
+        return out
+    mult = ctx.site_mult(plan, "shrink")
+    cap = HT.next_pow2(max(int(est * 3), 1 << 12)) * mult
+    if cap * 4 > out.n_rows:
+        return out  # <4x saving: the compaction sort wouldn't pay
+    count = jnp.sum(out.mask, dtype=jnp.int64)
+    ctx.report_overflow(plan, "shrink", count > cap)
+    return PH._compact_kernel(out, cap)
+
+
 def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
     probe, prep = execute_traced(plan.probe, ctx)
     build_local, brep = execute_traced(plan.build, ctx)
@@ -520,10 +543,11 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
     table = PH._build_kernel(build, plan.build_keys, capacity)
     if plan.unique_build and plan.filter is None \
             and plan.kind in ("inner", "left"):
-        return PH._join_unique_kernel(table, probe, build,
-                                      plan.probe_keys,
-                                      plan.build_payload,
-                                      plan.kind), orep
+        out = PH._join_unique_kernel(table, probe, build,
+                                     plan.probe_keys,
+                                     plan.build_payload,
+                                     plan.kind)
+        return _shrink_traced(plan, out, ctx), orep
     if plan.kind == "mark":
         # rebuild with NULL-keyed build rows excluded (NULL never
         # equals; carried by the has-null flag instead — ADVICE r4).
@@ -543,10 +567,12 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
             slot = PH._probe_counts_kernel(table, probe, plan.probe_keys)[0]
             found = slot >= 0
             mask = probe.mask & (found if plan.kind == "semi" else ~found)
-            return Chunk(dict(probe.cols), mask), orep
+            return _shrink_traced(plan, Chunk(dict(probe.cols), mask),
+                                  ctx), orep
         hit = _chain_walk_exists(plan, probe, build, table)
         mask = probe.mask & (hit if plan.kind == "semi" else ~hit)
-        return Chunk(dict(probe.cols), mask), orep
+        return _shrink_traced(plan, Chunk(dict(probe.cols), mask),
+                              ctx), orep
     # general expanding inner/left join with materialized output: two-pass
     # count→expand with a STATIC per-device capacity sized from the probe
     # shape; underestimates trip the overflow flag and the host retry loop
@@ -554,6 +580,12 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
     slot, cnt = PH._probe_counts_kernel(table, probe, plan.probe_keys)
     mult = ctx.site_mult(plan, "expand")
     out_size = HT.next_pow2(max(probe.n_rows, 64)) * 2 * mult
+    if plan.kind == "inner" and plan.out_est > 0:
+        # selectivity-tight pair capacity (DefaultPageJoiner streams
+        # probe pages for exactly this reason — never allocate the
+        # worst-case pair set); overflow retries regrow ×8
+        est_size = HT.next_pow2(max(int(plan.out_est * 3), 1 << 12)) * mult
+        out_size = min(out_size, est_size)
     out, ovf = PH._join_expand_pairs(plan, probe, build, table, slot, cnt,
                                      out_size)
     ctx.report_overflow(plan, "expand", ovf)

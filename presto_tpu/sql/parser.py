@@ -624,7 +624,9 @@ class Parser:
                 return ast.CastExpr(e, tn)
             if self.accept("kw", "extract"):
                 self.expect("op", "(")
-                what = self.expect("kw").value
+                # the field is a keyword (YEAR/MONTH/DAY) or a plain
+                # identifier (HOUR, MINUTE, DOW, ...)
+                what = (self.accept("kw") or self.expect("name")).value
                 self.expect("kw", "from")
                 e = self.parse_expr()
                 self.expect("op", ")")
@@ -683,7 +685,17 @@ class Parser:
                 distinct = bool(self.accept("kw", "distinct"))
                 args = []
                 if not self.accept("op", ")"):
-                    args.append(self.parse_expr())
+                    if t.value == "position":
+                        # first arg stops BEFORE a possible IN (the
+                        # SQL-standard position(needle IN haystack) form;
+                        # parse_expr would swallow it as an IN-list)
+                        args.append(self.parse_additive())
+                        if self.accept("kw", "in"):
+                            hay = self.parse_expr()
+                            self.expect("op", ")")
+                            return ast.FuncCall("strpos", [hay, args[0]])
+                    else:
+                        args.append(self.parse_expr())
                     while self.accept("op", ","):
                         args.append(self.parse_expr())
                     self.expect("op", ")")

@@ -533,6 +533,12 @@ class Planner:
                 hit = outer.resolve(node.parts)
                 if hit:
                     return ir.ColumnRef(hit[0], hit[1], outer=True)
+            if len(node.parts) == 1 and node.parts[0] in (
+                    "current_date", "current_timestamp",
+                    "localtimestamp"):
+                # SQL's paren-less niladic datetime functions
+                return self._resolve_scalar_func(
+                    ast.FuncCall(node.parts[0], ()), scope, outer)
             raise KeyError(f"cannot resolve column {'.'.join(node.parts)}")
         if isinstance(node, ast.NumberLit):
             text = node.text
@@ -676,8 +682,19 @@ class Planner:
                 rt = branch_vals[0].dtype
             return ir.Case(whens, default, rt)
         if isinstance(node, ast.ExtractExpr):
-            assert node.what == "year", f"extract({node.what})"
-            return ir.ExtractYear(self._resolve(node.arg, scope, outer))
+            what = node.what.lower()
+            arg = self._resolve(node.arg, scope, outer)
+            if what == "year":
+                return ir.ExtractYear(arg)
+            fn = {"month": "month", "day": "day", "hour": "hour",
+                  "minute": "minute", "second": "second", "quarter":
+                  "quarter", "week": "week", "dow": "day_of_week",
+                  "day_of_week": "day_of_week", "doy": "day_of_year",
+                  "day_of_year": "day_of_year",
+                  "year_of_week": "year_of_week", "yow": "year_of_week",
+                  "millisecond": "millisecond"}.get(what)
+            assert fn is not None, f"extract({what})"
+            return ir.Func(fn, (arg,), T.BIGINT)
         if isinstance(node, ast.SubstringExpr):
             arg = self._resolve(node.arg, scope, outer)
             start = self._resolve(node.start, scope, outer)
@@ -757,8 +774,73 @@ class Planner:
             return ir.Func(name, args, T.BIGINT)
         if name == "year":
             return ir.ExtractYear(args[0])
-        if name == "sqrt":
+        if name in ("sqrt", "exp", "ln", "log10", "log2", "log", "cbrt",
+                    "power", "pow", "atan2", "sin", "cos", "tan", "asin",
+                    "acos", "atan", "sinh", "cosh", "tanh", "degrees",
+                    "radians", "truncate", "to_unixtime"):
             return ir.Func(name, args, T.DOUBLE)
+        if name in ("pi", "e", "infinity", "nan"):
+            return ir.Func(name, args, T.DOUBLE)
+        if name in ("is_nan", "is_finite", "is_infinite"):
+            return ir.Func(name, args, T.BOOLEAN)
+        if name in ("ceil", "ceiling", "floor"):
+            at = args[0].dtype
+            rt = T.DOUBLE if isinstance(at, T.DoubleType) else (
+                T.decimal(at.precision, 0) if T.is_decimal(at) else T.BIGINT)
+            return ir.Func(name, args, rt)
+        if name == "sign":
+            at = args[0].dtype
+            rt = T.DOUBLE if isinstance(at, T.DoubleType) else (
+                T.decimal(1, 0) if T.is_decimal(at) else T.BIGINT)
+            return ir.Func(name, args, rt)
+        if name in ("width_bucket", "bitwise_and", "bitwise_or",
+                    "bitwise_xor", "bitwise_not", "bit_count",
+                    "bitwise_left_shift", "bitwise_right_shift",
+                    "bitwise_right_shift_arithmetic", "hour", "minute",
+                    "second", "millisecond", "year_of_week", "yow"):
+            return ir.Func(name, args, T.BIGINT)
+        if name == "last_day_of_month":
+            return ir.Func(name, args, T.DATE)
+        if name == "from_unixtime":
+            return ir.Func(name, args, T.TimestampType(precision=3))
+        if name == "concat_ws":
+            la = sum((a.dtype.length or 64) for a in args[1:]
+                     if T.is_string(a.dtype))
+            seps = (len(args) - 2) * (args[0].dtype.length or 8)
+            return ir.Func(name, args, T.varchar(la + max(seps, 0)))
+        if name == "typeof":
+            return ir.Literal(str(args[0].dtype), T.VARCHAR)
+        if name == "uuid":
+            return ir.Func(name, args, T.varchar(36))
+        if name == "format":
+            return ir.Func(name, args, T.VARCHAR)
+        if name in ("date_parse", "parse_datetime"):
+            return ir.Func(name, args, T.TimestampType())
+        if name in ("levenshtein_distance", "hamming_distance"):
+            return ir.Func(name, args, T.BIGINT)
+        if name in ("current_date", "now", "current_timestamp",
+                    "localtimestamp"):
+            # constant within a query (reference: SQL session time) —
+            # bound ONCE per plan; cached plans freeze it (documented)
+            import datetime as _dtm
+            if not hasattr(self, "_session_now"):
+                self._session_now = _dtm.datetime.now(_dtm.timezone.utc)
+            now = self._session_now
+            if name == "current_date":
+                days = (now.date() - _dtm.date(1970, 1, 1)).days
+                return ir.Literal(days, T.DATE)
+            us = int(now.timestamp() * 1e6)
+            return ir.Literal(us, T.TimestampType())
+        if name == "slice":
+            return ir.Func(name, args, args[0].dtype)
+        if name == "repeat":
+            return ir.Func(name, args, T.array(args[0].dtype))
+        if name == "array_join":
+            return ir.Func(name, args, T.VARCHAR)
+        if name == "arrays_overlap":
+            return ir.Func(name, args, T.BOOLEAN)
+        if name in ("array_except", "array_intersect", "array_union"):
+            return ir.Func(name, args, args[0].dtype)
         if name == "round":
             d = 0
             if len(args) > 1:
@@ -1722,6 +1804,7 @@ class Planner:
             if unique and build.base > 0:
                 frac = min(1.0, build.est / build.base)
             est = max(probe.est * frac if unique else probe.est * 4, 16.0)
+            plan.out_est = est
             merged = Rel(plan, probe.scope.merged(build.scope),
                          probe.columns | build.columns,
                          probe.unique_keys if unique else [
@@ -1903,7 +1986,8 @@ class Planner:
             unique_build=unique, build_payload=payload,
             filter=ir.and_(*residual) if residual else None,
             build_est=right.est, probe_est=cur.est,
-            build_cap_est=max(right.base, right.est))
+            build_cap_est=max(right.base, right.est),
+            out_est=cur.est if unique else -1.0)
         return Rel(plan, scope, cur.columns | right.columns,
                    [], cur.est * (1 if unique else 4))
 
@@ -2031,7 +2115,7 @@ class Planner:
             tuple(self._strip_outer(k) for k in probe_keys),
             build_keys, kind="anti" if negated else "semi",
             unique_build=False, build_payload=payload, filter=residual,
-            build_est=inner.est, probe_est=cur.est)
+            build_est=inner.est, probe_est=cur.est, out_est=cur.est)
         return Rel(plan, cur.scope, cur.columns, cur.unique_keys, cur.est)
 
     def _apply_in(self, cur: Rel, node: ast.InSubquery, negated: bool,
@@ -2057,7 +2141,7 @@ class Planner:
             cur.plan, sub.plan, args, build_keys,
             kind="anti" if negated else "semi", unique_build=False,
             build_est=sub.est, probe_est=cur.est,
-            build_cap_est=max(sub.base, sub.est))
+            build_cap_est=max(sub.base, sub.est), out_est=cur.est)
         return Rel(plan, cur.scope, cur.columns, cur.unique_keys, cur.est)
 
     def _apply_scalar_compare(self, cur: Rel, other: ast.Node, op: str,
