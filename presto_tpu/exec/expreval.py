@@ -208,15 +208,20 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
         rs = _scale_of(rt)
         i128 = T.is_long_decimal(rt)
 
+        dbl = isinstance(rt, T.DoubleType)
+
         def branch_vals(v: DCol):
             if i128:  # promote every branch to packed (hi, lo) words
                 return I128.pack(*_col_i128(v, rs))
+            if dbl:   # DOUBLE result: decimal branches divide out scale
+                return _as_double(v)
             return v.values
 
         for cond, val in expr.whens:
             c = eval_expr(cond, chunk)
             cm = c.values.astype(jnp.bool_) & c.valid_or_true() & ~taken
-            v = _rescale_col(eval_expr(val, chunk), rs)
+            v = eval_expr(val, chunk) if dbl else \
+                _rescale_col(eval_expr(val, chunk), rs)
             vv = branch_vals(v)
             cmv = cm[:, None] if vv.ndim == 2 else cm
             if out is None:
@@ -227,7 +232,8 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
                 valid = jnp.where(cm, v.valid_or_true(), valid)
             taken = taken | cm
         if expr.default is not None:
-            d = _rescale_col(eval_expr(expr.default, chunk), rs)
+            d = eval_expr(expr.default, chunk) if dbl else \
+                _rescale_col(eval_expr(expr.default, chunk), rs)
             dv = branch_vals(d)
             tkv = taken[:, None] if dv.ndim == 2 else taken
             out = jnp.where(tkv, out, dv)
@@ -422,7 +428,14 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
 # ------------------------------------------------------- math functions
 
 def _as_double(col: DCol) -> jnp.ndarray:
-    """Numeric column → float64 values (decimals divide out their scale)."""
+    """Numeric column → float64 values (decimals divide out their scale;
+    int128 word pairs fold to one float64)."""
+    if col.values.ndim == 2 and col.values.shape[-1] == 2:
+        hi, lo = I128.unpack(col.values)
+        v = hi.astype(jnp.float64) * (2.0 ** 64) + jnp.where(
+            lo < 0, lo.astype(jnp.float64) + 2.0 ** 64,
+            lo.astype(jnp.float64))
+        return v / float(10 ** _scale_of(col.dtype))
     return col.values.astype(jnp.float64) / float(10 ** _scale_of(col.dtype))
 
 
@@ -1637,7 +1650,11 @@ def _arith(expr: ir.Arith, chunk: Chunk) -> DCol:
     r = eval_expr(expr.right, chunk)
     valid = _and_validity(l.validity, r.validity)
     rs = _scale_of(expr.dtype)
-    if _is_i128(l) or _is_i128(r) or T.is_long_decimal(expr.dtype):
+    if (isinstance(expr.dtype, T.DoubleType)
+            or isinstance(lt, T.DoubleType)
+            or isinstance(rt, T.DoubleType)):
+        pass  # double path below (wins over i128: result is approximate)
+    elif _is_i128(l) or _is_i128(r) or T.is_long_decimal(expr.dtype):
         # DECIMAL(p>18) results are real int128 values (a short×short
         # product typed long would silently wrap in int64)
         return _arith_i128(expr, l, r, valid, rs)
@@ -1749,6 +1766,13 @@ def _compare(expr: ir.Compare, chunk: Chunk) -> DCol:
         m = _int_cmp(expr.op, l.values, r.values)
         return DCol(T.BOOLEAN, PLAIN, m, validity=valid)
 
+    if isinstance(l.dtype, T.DoubleType) or isinstance(r.dtype,
+                                                       T.DoubleType):
+        # double vs decimal/int: compare in float64 — the int64
+        # rescale path would read double VALUES as raw scaled ints
+        return DCol(T.BOOLEAN, PLAIN,
+                    _int_cmp(expr.op, _as_double(l), _as_double(r)),
+                    validity=valid)
     # numeric/date/decimal path: align scales
     ls, rs = _scale_of(l.dtype), _scale_of(r.dtype)
     s = max(ls, rs)

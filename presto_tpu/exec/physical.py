@@ -941,9 +941,24 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
                 adt = T.BIGINT
             else:
                 c = eval_expr(spec.arg, chunk)
-                vals = c.values[perm].astype(jnp.int64)
-                vmask = smask & c.valid_or_true()[perm]
-                adt = c.dtype
+                if c.values.ndim == 2:
+                    # long-decimal (int128 word-pair) input: window
+                    # accumulators are int64 — fold to double (the
+                    # ratio/share shapes these feed are approximate;
+                    # reference returns decimal(38) — documented gap)
+                    hi, lo = I128.unpack(c.values)
+                    fv = hi.astype(jnp.float64) * (2.0 ** 64) + \
+                        jnp.where(lo < 0, lo.astype(jnp.float64)
+                                  + 2.0 ** 64, lo.astype(jnp.float64))
+                    vals = (fv / 10 ** _scale_of(c.dtype))[perm]
+                    vmask = smask & c.valid_or_true()[perm]
+                    adt = T.DOUBLE
+                else:
+                    acc = (c.values.dtype if jnp.issubdtype(
+                        c.values.dtype, jnp.floating) else jnp.int64)
+                    vals = c.values[perm].astype(acc)
+                    vmask = smask & c.valid_or_true()[perm]
+                    adt = c.dtype
             if spec.frame is not None:
                 lo, hi = frame_lo_hi(spec.frame)
                 rsum = W.framed_sum(vals, vmask, lo, hi)
@@ -961,10 +976,14 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
                 res, valid, ot = rcnt, None, T.BIGINT
             elif spec.func == "sum":
                 res, valid = rsum, rcnt > 0
-                ot = (T.decimal(38, _scale_of(adt)) if T.is_decimal(adt)
-                      else T.BIGINT)
+                ot = (T.DOUBLE if isinstance(adt, T.DoubleType)
+                      else T.decimal(38, _scale_of(adt))
+                      if T.is_decimal(adt) else T.BIGINT)
             elif spec.func == "avg":
-                res = DEC.div_round_half_up(rsum, jnp.maximum(rcnt, 1))
+                if isinstance(adt, T.DoubleType):
+                    res = rsum / jnp.maximum(rcnt, 1)
+                else:
+                    res = DEC.div_round_half_up(rsum, jnp.maximum(rcnt, 1))
                 valid, ot = rcnt > 0, adt
             else:  # min/max
                 mxm = spec.func == "max"
@@ -978,15 +997,21 @@ def _window_traced(chunk: Chunk, plan: PhysWindow) -> Chunk:
                     run = W.segmented_cummin(guarded, part_start, maximum=mxm)
                     lo2, hi = frame_lo_hi(spec.frame)
                     res = run[jnp.clip(hi, 0, n - 1)]
-                    valid = hi >= lo2
+                    # all-NULL frames must yield NULL, not the sentinel
+                    nn = W.framed_sum(vmask.astype(jnp.int64), smask,
+                                      lo2, hi) > 0
+                    valid = (hi >= lo2) & nn
                 elif has_order:
                     run = W.segmented_cummin(guarded, part_start, maximum=mxm)
                     res = run[pe]
-                    valid = None
+                    valid = W.running_sum(vmask.astype(jnp.int64),
+                                          part_start, smask)[pe] > 0
                 else:
                     res = W.partition_total(vals, part_start, vmask,
                                             spec.func)
-                    valid = None
+                    valid = W.partition_total(
+                        vmask.astype(jnp.int64), part_start, vmask,
+                        "count") > 0
                 ot = adt
         else:
             raise NotImplementedError(f"window function {spec.func}")

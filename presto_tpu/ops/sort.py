@@ -63,7 +63,11 @@ def argsort_multi(keys: Sequence[Tuple[jnp.ndarray, bool]],
 
     ``keys``: list of (array[N], descending) in major-to-minor order.
     Masked-out rows sort to the end.  Returns int32 permutation.
+    Empty ``keys`` (e.g. a window ``OVER ()``) sorts by validity only.
     """
+    if not keys:
+        assert mask is not None, "argsort_multi with no keys needs a mask"
+        return jnp.argsort(~mask, stable=True).astype(jnp.int32)
     n = keys[0][0].shape[0]
     perm = jnp.arange(n, dtype=jnp.int32)
     for arr, desc in reversed(list(keys)):

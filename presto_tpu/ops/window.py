@@ -132,7 +132,9 @@ def running_sum(values: jnp.ndarray, part_start: jnp.ndarray,
     """sum over rows from partition start to current row (RANGE/ROWS
     UNBOUNDED PRECEDING → CURRENT ROW with default peers handling done by
     caller via peer_start gather)."""
-    v = jnp.where(mask, values, 0).astype(jnp.int64)
+    acc = values.dtype if jnp.issubdtype(values.dtype, jnp.floating) \
+        else jnp.int64
+    v = jnp.where(mask, values, 0).astype(acc)
     cs = jnp.cumsum(v)
     before = jnp.where(part_start > 0, cs[jnp.maximum(part_start - 1, 0)], 0)
     return cs - before
@@ -307,7 +309,9 @@ def framed_sum(values: jnp.ndarray, mask: jnp.ndarray,
                lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     """sum over sorted positions [lo, hi] via prefix sums (exact: clamped
     bounds never cross partition edges)."""
-    v = jnp.where(mask, values, 0).astype(jnp.int64)
+    acc = values.dtype if jnp.issubdtype(values.dtype, jnp.floating) \
+        else jnp.int64
+    v = jnp.where(mask, values, 0).astype(acc)
     cs = jnp.cumsum(v)
     hi_c = jnp.clip(hi, 0, v.shape[0] - 1)
     upper = jnp.where(hi >= lo, cs[hi_c], 0)
@@ -343,7 +347,9 @@ def partition_total(values: jnp.ndarray, part_start: jnp.ndarray,
     seg = part_start.astype(jnp.int32)
     cap = n  # part_start < n
     if func == "sum":
-        tot = A.seg_sum(values, seg, mask, cap, jnp.int64)
+        acc = values.dtype if jnp.issubdtype(values.dtype, jnp.floating) \
+            else jnp.int64
+        tot = A.seg_sum(values, seg, mask, cap, acc)
     elif func == "min":
         tot = A.seg_min(values, seg, mask, cap)
     elif func == "max":

@@ -116,19 +116,36 @@ class Parser:
 
     def parse_query(self):
         """select_core ((UNION|INTERSECT|EXCEPT) [ALL] select_core)*
-        with trailing ORDER BY/LIMIT attached to the whole set op."""
-        left = self.parse_select()
+        with trailing ORDER BY/LIMIT attached to the whole set op.
+        Operands may be parenthesized queries: ``(q1) except (q2)``."""
+        left = self._parse_setop_operand()
         while self.at_kw("union", "intersect", "except"):
             op = self.next().value
             all_ = bool(self.accept("kw", "all"))
             self.accept("kw", "distinct")
-            right = self.parse_select()
+            right = self._parse_setop_operand()
             # ORDER BY / LIMIT greedily parsed into the right arm belong to
             # the set operation as a whole
-            order_by, limit = right.order_by, right.limit
-            right.order_by, right.limit = [], None
+            order_by, limit = getattr(right, "order_by", []), \
+                getattr(right, "limit", None)
+            if order_by or limit:
+                right.order_by, right.limit = [], None
             left = ast.SetOp(left, right, op, all_, order_by, limit)
         return left
+
+    def _parse_setop_operand(self):
+        t = self.peek()
+        if t.kind == "op" and t.value == "(":
+            # lookahead: a parenthesized QUERY (not a scalar expression)
+            save = self.i
+            self.next()
+            if self.at_kw("select", "with") or (
+                    self.peek().kind == "op" and self.peek().value == "("):
+                q = self.parse_query()
+                self.expect("op", ")")
+                return q
+            self.i = save
+        return self.parse_select()
 
     def parse_select(self) -> ast.Select:
         ctes: List[Tuple[str, ast.Select]] = []

@@ -139,6 +139,9 @@ class Planner:
         # instance id keeps self-joins re-exported through one subquery
         # from mixing two scans of the same table into one FD group.
         self._base_prov: Dict[str, Optional[Tuple[str, str, int]]] = {}
+        # every physical column name defined by a scan so far — a second
+        # unaliased scan reusing a name gets a disambiguating prefix
+        self._defined_phys: Set[str] = set()
         # name → (row_count, primary_key) from connector metadata (the
         # ConnectorMetadata.getTableStatistics seam)
         self.extra_stats: Dict[str, tuple] = extra_stats or {}
@@ -316,6 +319,7 @@ class Planner:
         for cname, ctype in SCH.TABLE_SCHEMAS[name]:
             phys = prefix + cname
             cols.add(phys)
+            self._defined_phys.add(phys)
             self._register_prov(phys, (name, cname, scan_id))
             scope.add(alias, cname, phys, ctype)
             if cname.startswith(strip):
@@ -468,11 +472,22 @@ class Planner:
                 prefix += "x"
             self.used_prefixes.add(prefix)
         alias = ref.alias or name
+        if not prefix and any(cname in self._defined_phys
+                              for cname, _ in cols_types):
+            # an unaliased extra-catalog scan whose column names collide
+            # with an earlier scan in this query: without disambiguation
+            # the equi-join predicate would resolve both sides to ONE
+            # physical column and the join degenerates to a cross join
+            prefix = alias + "__"
+            while prefix in self.used_prefixes:
+                prefix += "x"
+            self.used_prefixes.add(prefix)
         scope = Scope()
         cols = set()
         for cname, ctype in cols_types:
             phys = prefix + cname
             cols.add(phys)
+            self._defined_phys.add(phys)
             self._base_prov[phys] = None  # not a tpch base column
             scope.add(alias, cname, phys, ctype)
         plan = P.PhysScan(name, tuple(c for c, _ in cols_types),
@@ -1281,8 +1296,19 @@ class Planner:
                     if fname == "count":
                         dtype = T.BIGINT
                     elif fname == "sum":
-                        dtype = (T.decimal(38, arg.dtype.scale)
-                                 if T.is_decimal(arg.dtype) else T.BIGINT)
+                        if T.is_long_decimal(arg.dtype) or isinstance(
+                                arg.dtype, T.DoubleType):
+                            # int128 inputs fold to double in the window
+                            # kernels (see _exec_window long-decimal note)
+                            dtype = T.DOUBLE
+                        elif T.is_decimal(arg.dtype):
+                            dtype = T.decimal(38, arg.dtype.scale)
+                        else:
+                            dtype = T.BIGINT
+                    elif fname == "avg" and (T.is_long_decimal(arg.dtype)
+                                             or isinstance(arg.dtype,
+                                                           T.DoubleType)):
+                        dtype = T.DOUBLE
                     else:
                         dtype = arg.dtype
                 elif fname in ("row_number", "rank", "dense_rank"):
