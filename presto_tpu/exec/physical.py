@@ -1270,6 +1270,8 @@ def _agg_output_type(spec: AggSpec) -> T.DataType:
     if spec.func == "histogram":
         return T.map_(at, T.BIGINT)
     if spec.func == "sum":
+        if isinstance(at, T.DoubleType):
+            return T.DOUBLE
         return T.decimal(38, _scale_of(at)) if T.is_decimal(at) else T.BIGINT
     if spec.func == "avg":
         return at if T.is_decimal(at) else T.DOUBLE
@@ -1592,11 +1594,17 @@ def _agg_col(spec: AggSpec, chunk: Chunk, slot, capacity, gvalid) -> DCol:
             hi, lo = _seg_sum128(vals, slot, vmask, capacity)
             return DCol(ot, PLAIN, I128.pack(hi, lo),
                         validity=gvalid & nonempty)
+        if isinstance(c.dtype, T.DoubleType):
+            s = A.seg_sum(vals, slot, vmask, capacity, jnp.float64)
+            return DCol(T.DOUBLE, PLAIN, s, validity=gvalid & nonempty)
         s = A.seg_sum(vals, slot, vmask, capacity, jnp.int64)
         return DCol(ot, PLAIN, s, validity=gvalid & nonempty)
     if spec.func == "avg":
         cnt = A.seg_count(slot, vmask, capacity)
-        if T.is_decimal(c.dtype):
+        if isinstance(c.dtype, T.DoubleType):
+            s = A.seg_sum(vals, slot, vmask, capacity, jnp.float64)
+            v = s / jnp.maximum(cnt, 1)
+        elif T.is_decimal(c.dtype):
             hi, lo = _seg_sum128(vals, slot, vmask, capacity)
             qhi, qlo = I128.div_round_half_up(
                 hi, lo, *I128.from_i64(jnp.maximum(cnt, 1)))
@@ -1798,12 +1806,16 @@ def _exec_global_agg(plan: PhysHashAggregate, child: Chunk) -> Chunk:
             elif spec.func == "sum":
                 if T.is_long_decimal(ot):
                     v = I128.pack(*_g_sum128(c.values, m))[None]
+                elif isinstance(c.dtype, T.DoubleType):
+                    v = A.g_sum(c.values, m, jnp.float64)[None]
                 else:
                     v = A.g_sum(c.values, m, jnp.int64)[None]
                 out[spec.name] = DCol(ot, PLAIN, v, validity=nonempty[None])
             elif spec.func == "avg":
                 cnt = jnp.maximum(A.g_count(m), 1)
-                if T.is_decimal(c.dtype):
+                if isinstance(c.dtype, T.DoubleType):
+                    v = (A.g_sum(c.values, m, jnp.float64) / cnt)[None]
+                elif T.is_decimal(c.dtype):
                     hi, lo = _g_sum128(c.values, m)
                     qhi, qlo = I128.div_round_half_up(
                         hi[None], lo[None], *I128.from_i64(cnt[None]))

@@ -610,10 +610,11 @@ def _try_chain_walk_join_agg(plan: PH.PhysHashAggregate, ctx: TraceCtx):
         return None
     if any(s.func == "avg" for s in plan.aggs):
         return None
-    if any(s.arg is not None and T.is_long_decimal(s.arg.dtype)
+    if any(s.arg is not None and (T.is_long_decimal(s.arg.dtype)
+                                  or isinstance(s.arg.dtype, T.DoubleType))
            for s in plan.aggs):
         return None  # chain-walk accumulators are int64; long decimals
-        # take the expansion path (their sums need int128 state)
+        # (int128 state) and doubles (float state) take the expansion path
     payload_names = {o for o, _ in join.build_payload}
     for _, e in plan.groups:
         if set(ir.referenced_columns(e)) & payload_names:
@@ -1183,12 +1184,16 @@ def _partial_states(spec: PH.AggSpec, chunk: Chunk, slot, capacity, gvalid):
             else:
                 s = I128.pack(*I128.seg_sum128_from_i64(
                     c.values, slot, vmask, capacity))
+            st = T.decimal(38, _scale_of(c.dtype))
+        elif isinstance(c.dtype, T.DoubleType):
+            s = A.seg_sum(c.values, slot, vmask, capacity, jnp.float64)
+            st = T.DOUBLE
         else:
             s = A.seg_sum(c.values, slot, vmask, capacity, jnp.int64)
+            st = T.decimal(38, _scale_of(c.dtype))
         nonempty = A.seg_count(slot, vmask, capacity) > 0
         out.append((f"{spec.name}#sum", "sum",
-                    DCol(T.decimal(38, _scale_of(c.dtype)), PLAIN, s,
-                         validity=gvalid & nonempty)))
+                    DCol(st, PLAIN, s, validity=gvalid & nonempty)))
     if spec.func in ("avg", "count"):
         cnt = A.seg_count(slot, vmask, capacity)
         out.append((f"{spec.name}#cnt", "sum",
