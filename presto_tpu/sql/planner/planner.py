@@ -1739,6 +1739,16 @@ class Planner:
                     return i
             return None
 
+        # cost-based join ORDER via dynamic programming over connected
+        # sub-plans (the memo role of the reference's ReorderJoins +
+        # CostComparator: every connected split of every connected subset
+        # is costed with the same est model the greedy merge applies;
+        # Cout = sum of intermediate cardinalities).  Falls back to the
+        # greedy min-build edge pick on cross joins or >10 relations.
+        dp_order = self._dp_join_order(comps, pending)
+        comp_sets: List[frozenset] = [frozenset([i])
+                                      for i in range(len(comps))]
+
         while len(comps) > 1:
             # find equi edges between current components
             edges: Dict[Tuple[int, int], List[Tuple[ir.Expr, ir.Expr]]] = {}
@@ -1760,7 +1770,11 @@ class Planner:
                         "CROSS_JOIN",
                         "query contains a cross join (no equi-join "
                         "predicate connects all relations)")
-                comps.sort(key=lambda r: r.est)
+                order = sorted(range(len(comps)),
+                               key=lambda i: comps[i].est)
+                comps = [comps[i] for i in order]
+                comp_sets = [comp_sets[i] for i in order]
+                dp_order = None  # cross join: stay greedy
                 small, big = comps[0], comps[1]
                 payload = tuple((c, c) for c in sorted(small.columns))
                 plan = P.PhysHashJoin(
@@ -1782,12 +1796,29 @@ class Planner:
                     else:
                         new_pending.append(c)
                 pending = new_pending
+                comp_sets = [comp_sets[0] | comp_sets[1]] + comp_sets[2:]
                 comps = [merged] + comps[2:]
                 continue
-            # pick the edge whose smaller side is smallest (build small first)
-            (a, b), keys = min(
-                edges.items(),
-                key=lambda kv: min(comps[kv[0][0]].est, comps[kv[0][1]].est))
+            # pick the DP-ordered merge when available, else the edge
+            # whose smaller side is smallest (build small first)
+            pick = None
+            if dp_order:
+                s1, s2 = dp_order[0]
+                ia = next((i for i, s in enumerate(comp_sets)
+                           if s == s1), None)
+                ib = next((i for i, s in enumerate(comp_sets)
+                           if s == s2), None)
+                if ia is not None and ib is not None:
+                    key = (ia, ib) if ia < ib else (ib, ia)
+                    if key in edges:
+                        pick = key
+                        dp_order = dp_order[1:]
+            if pick is None:
+                dp_order = None   # desynced: stay greedy from here on
+                pick = min(
+                    edges,
+                    key=lambda k: min(comps[k[0]].est, comps[k[1]].est))
+            (a, b), keys = pick, edges[pick]
             def orient(probe_i, build_i):
                 probe, build = comps[probe_i], comps[build_i]
                 pk, bk = [], []
@@ -1853,6 +1884,9 @@ class Planner:
                 else:
                     new_pending.append(c)
             pending = new_pending
+            merged_set = comp_sets[probe_i] | comp_sets[build_i]
+            comp_sets = [s for i, s in enumerate(comp_sets)
+                         if i not in (probe_i, build_i)] + [merged_set]
             comps = [r for i, r in enumerate(comps)
                      if i not in (probe_i, build_i)] + [merged]
 
@@ -1873,6 +1907,145 @@ class Planner:
     @staticmethod
     def _mk_eq(l, r):
         return ir.Compare("=", l, r)
+
+    def _dp_join_order(self, comps: List[Rel], pending: List[ir.Expr]
+                       ) -> Optional[List[Tuple[frozenset, frozenset]]]:
+        """Bottom-up merge order minimizing Cout (sum of intermediate
+        cardinalities) — the memo-based ReorderJoins analogue.  Each DP
+        state carries the SAME (est, base, unique_keys) the greedy merge
+        would compute, so the chosen order replays exactly through the
+        existing merge machinery.  Returns None (fall back to greedy) on
+        cross joins, >10 relations, or a disconnected join graph."""
+        n = len(comps)
+        if n < 3 or n > 10:
+            return None
+
+        # equi conjuncts as (left_refs, right_refs) over relation indices
+        def rels_of(refs) -> Optional[frozenset]:
+            out = set()
+            for col in refs:
+                hit = next((i for i, r in enumerate(comps)
+                            if col in r.columns), None)
+                if hit is None:
+                    return None
+                out.add(hit)
+            return frozenset(out)
+
+        equi = []      # (rels_l, rels_r, build_refs_l, build_refs_r)
+        other = []     # (rels, selectivity)
+        for c in pending:
+            if isinstance(c, ir.Compare) and c.op == "=":
+                lr = rels_of(ir.referenced_columns(c.left))
+                rr = rels_of(ir.referenced_columns(c.right))
+                if lr and rr and len(lr) == 1 and len(rr) == 1 \
+                        and lr != rr:
+                    equi.append((lr, rr,
+                                 frozenset(ir.referenced_columns(c.left)),
+                                 frozenset(ir.referenced_columns(c.right))))
+                    continue
+            refs = rels_of(ir.referenced_columns(c))
+            if refs:
+                other.append((refs, self.selectivity(c)))
+        if not equi:
+            return None
+
+        # DP state per subset: (cost, est, base, unique_keys, split)
+        init = {}
+        for i, r in enumerate(comps):
+            init[frozenset([i])] = (0.0, r.est, r.base,
+                                    [frozenset(u) for u in r.unique_keys],
+                                    None)
+        best = dict(init)
+        full = frozenset(range(n))
+
+        def link_cols(s1: frozenset, s2: frozenset):
+            """(probe_keyrefs, build_keyrefs) joining s1(probe)→s2(build);
+            None if no equi edge."""
+            pk, bk = set(), set()
+            for lr, rr, lcols, rcols in equi:
+                if lr <= s1 and rr <= s2:
+                    pk |= lcols
+                    bk |= rcols
+                elif rr <= s1 and lr <= s2:
+                    pk |= rcols
+                    bk |= lcols
+            return (pk, bk) if bk else None
+
+        def join_state(st_p, st_b, bk_cols, s_all):
+            _, pest, pbase, puk, _ = st_p
+            _, best_, bbase, buk, _ = st_b
+            unique = any(u <= bk_cols for u in buk)
+            frac = 1.0
+            if unique and bbase > 0:
+                frac = min(1.0, best_ / bbase)
+            est = max(pest * frac if unique else pest * 4, 16.0)
+            uk = puk if unique else [pu | bu for pu in puk for bu in buk]
+            return est, pbase, uk, unique
+
+        # enumerate subsets by popcount; split into connected halves
+        subsets = sorted((frozenset(
+            i for i in range(n) if m >> i & 1) for m in range(1, 1 << n)),
+            key=len)
+        filt_done: dict = {}
+        for s in subsets:
+            if len(s) < 2:
+                continue
+            bestv = None
+            members = sorted(s)
+            # iterate proper submasks containing the lowest member (each
+            # unordered split once)
+            rest = members[1:]
+            for m in range(1 << len(rest)):
+                s1 = frozenset([members[0]] + [rest[i]
+                               for i in range(len(rest)) if m >> i & 1])
+                s2 = s - s1
+                if not s2 or s1 not in best or s2 not in best:
+                    continue
+                for p, b in ((s1, s2), (s2, s1)):
+                    # replay the greedy orientation rule: probe = larger
+                    # est side unless uniqueness prefers the flip
+                    link = link_cols(p, b)
+                    if link is None:
+                        continue
+                    st_p, st_b = best[p], best[b]
+                    if st_p[1] < st_b[1]:
+                        continue  # orientation handled by the (b, p) pass
+                    pkc, bkc = link
+                    est, base_, uk, unique = join_state(
+                        st_p, st_b, frozenset(bkc), s)
+                    if not unique:
+                        rlink = link_cols(b, p)
+                        if rlink is not None:
+                            e2, b2, u2, uq2 = join_state(
+                                st_b, st_p, frozenset(rlink[1]), s)
+                            if uq2:
+                                est, base_, uk = e2, b2, u2
+                    # apply newly-covered filter selectivities once
+                    sel = 1.0
+                    for refs, sv in other:
+                        if refs <= s and not (refs <= p or refs <= b):
+                            sel *= sv
+                    est = max(est * sel, 16.0)
+                    cost = st_p[0] + st_b[0] + est
+                    if bestv is None or cost < bestv[0]:
+                        bestv = (cost, est, base_, uk, (p, b))
+            if bestv is not None:
+                best[s] = bestv
+        if full not in best or best[full][4] is None:
+            return None
+
+        order: List[Tuple[frozenset, frozenset]] = []
+
+        def emit(s: frozenset):
+            if len(s) == 1:
+                return
+            split = best[s][4]
+            emit(split[0])
+            emit(split[1])
+            order.append((split[0], split[1]))
+
+        emit(full)
+        return order
 
     def _equi_pair(self, c: ir.Expr, comp_of):
         if not (isinstance(c, ir.Compare) and c.op == "="):

@@ -110,3 +110,86 @@ def test_supervisor_integration():
         assert mgr.groups["g"].running == 0  # released
     finally:
         sup.shutdown()
+
+
+def test_hierarchy_parent_limit():
+    """A parent's concurrency cap binds its children (reference:
+    InternalResourceGroup tree limits)."""
+    from presto_tpu.parallel.resource_groups import (ResourceGroup,
+                                                     ResourceGroupManager)
+    mgr = ResourceGroupManager([
+        ResourceGroup("root", hard_concurrency_limit=2),
+        ResourceGroup("a", parent="root", hard_concurrency_limit=2),
+        ResourceGroup("b", parent="root", hard_concurrency_limit=2),
+    ], selectors=[("ua", "a"), ("ub", "b")])
+    s1 = mgr.acquire("ua")
+    s2 = mgr.acquire("ub")
+    # parent root at 2/2: a third query queues even though leaf 'a' has
+    # capacity
+    import pytest as _pytest
+    from presto_tpu.parallel.resource_groups import AdmissionTimeout
+    with _pytest.raises(AdmissionTimeout):
+        mgr.acquire("ua", timeout_s=0.2)
+    s1.__exit__()
+    s3 = mgr.acquire("ua", timeout_s=5)
+    s3.__exit__()
+    s2.__exit__()
+
+
+def test_weighted_fair_prefers_underweighted():
+    from presto_tpu.parallel.resource_groups import (ResourceGroup,
+                                                     ResourceGroupManager)
+    import threading
+    mgr = ResourceGroupManager([
+        ResourceGroup("root", hard_concurrency_limit=1,
+                      scheduling_policy="weighted_fair"),
+        ResourceGroup("small", parent="root", weight=1,
+                      hard_concurrency_limit=1),
+        ResourceGroup("big", parent="root", weight=3,
+                      hard_concurrency_limit=1),
+    ], selectors=[("us", "small"), ("ub", "big")])
+    held = mgr.acquire("us")
+    order = []
+
+    def worker(user, tag):
+        with mgr.acquire(user, timeout_s=10):
+            order.append(tag)
+
+    ts = [threading.Thread(target=worker, args=("us", "small")),
+          threading.Thread(target=worker, args=("ub", "big"))]
+    for t in ts:
+        t.start()
+    import time
+    time.sleep(0.3)          # both queued behind `held`
+    held.__exit__()
+    for t in ts:
+        t.join(10)
+    # big has weight 3 vs small 1 and both had 0 running: weighted_fair
+    # ties on running/weight=0 — the deterministic tiebreak (name) picks
+    # 'big' first
+    assert order[0] == "big"
+
+
+def test_query_priority_order():
+    from presto_tpu.parallel.resource_groups import (ResourceGroup,
+                                                     ResourceGroupManager)
+    import threading, time
+    mgr = ResourceGroupManager([
+        ResourceGroup("g", hard_concurrency_limit=1,
+                      scheduling_policy="query_priority"),
+    ], selectors=[("*", "g")])
+    held = mgr.acquire("u")
+    order = []
+
+    def worker(prio):
+        with mgr.acquire("u", timeout_s=10, priority=prio):
+            order.append(prio)
+
+    ts = [threading.Thread(target=worker, args=(p,)) for p in (1, 5, 3)]
+    for t in ts:
+        t.start()
+        time.sleep(0.1)
+    held.__exit__()
+    for t in ts:
+        t.join(10)
+    assert order[0] == 5  # highest priority first

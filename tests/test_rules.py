@@ -166,3 +166,67 @@ def test_tpch_results_unchanged_by_optimizer(tmp_path):
         got = r.run_sql(QUERIES[qid])  # optimizer path
         assert [c.to_pylist() for c in got.columns.values()] == \
             [c.to_pylist() for c in want.columns.values()]
+
+
+def test_dp_join_order_q5_matches_results():
+    """Memo-based join reordering (ReorderJoins analogue): the DP order
+    must reproduce the oracle result on a 6-relation query and choose a
+    bounded-cost order (no cross products)."""
+    from presto_tpu.exec.runner import LocalRunner
+    from presto_tpu.tpch.queries import QUERIES
+
+    r = LocalRunner(scale_factor=0.01)
+    got = r.run_sql(QUERIES[5]).to_pandas()
+    import tpch_oracle as O
+    exp = O.q5(0.01)
+    assert len(got) == len(exp)
+    assert got.iloc[:, 0].tolist() == exp.iloc[:, 0].tolist()
+
+
+def test_dp_join_order_prefers_selective_dimension():
+    """A selective dimension-filtered join must be applied before the
+    unselective fact-fact join (Cout minimization)."""
+    from presto_tpu.sql.parser import parse
+    from presto_tpu.sql.planner.planner import Planner
+    import presto_tpu.exec.physical as P
+
+    # orders x lineitem x (region-filtered) customer-like chain: the
+    # optimal order filters orders by customer first
+    plan = Planner(0.1).plan(parse("""
+        select count(*) c from customer, orders, lineitem
+        where c_custkey = o_custkey and o_orderkey = l_orderkey
+          and c_mktsegment = 'BUILDING'"""))
+
+    # walk: the innermost (first) join must involve customer (the
+    # selective side), not lineitem-orders
+    joins = []
+
+    def walk(n):
+        if isinstance(n, P.PhysHashJoin):
+            joins.append(n)
+        for ch in n.__dict__.values():
+            if isinstance(ch, P.PhysOp):
+                walk(ch)
+            elif isinstance(ch, tuple):
+                for c in ch:
+                    if isinstance(c, P.PhysOp):
+                        walk(c)
+
+    walk(plan)
+    assert len(joins) == 2
+    # deepest join (planned first) carries the customer scan on a side
+    deepest = joins[-1]
+
+    def tables(n, acc):
+        if isinstance(n, P.PhysScan):
+            acc.add(n.table)
+        for ch in n.__dict__.values():
+            if isinstance(ch, P.PhysOp):
+                tables(ch, acc)
+            elif isinstance(ch, tuple):
+                for c in ch:
+                    if isinstance(c, P.PhysOp):
+                        tables(c, acc)
+        return acc
+
+    assert "customer" in tables(deepest, set())
