@@ -23,20 +23,26 @@ TABLES = {
     "region": ["r_regionkey"],
     "supplier": ["s_suppkey", "s_nationkey", "s_acctbal"],
     "customer": ["c_custkey", "c_nationkey", "c_acctbal"],
+    # fact-scale table (15k rows at SF0.01): exercises join fan-out and
+    # aggregation capacities the dimension-only corpus could not
+    "orders": ["o_orderkey", "o_custkey", "o_shippriority",
+               "o_totalprice"],
 }
 # decimal columns: loaded into SQLite in VALUE space (v / 10^scale) so
 # literals mean the same thing to both engines; engine outputs scale
 # back through their result dtypes (the oracle-encoding bridge the
 # round-3 fuzzer dodged by excluding the type)
-DEC_COLS = {"s_acctbal": 2, "c_acctbal": 2}
+DEC_COLS = {"s_acctbal": 2, "c_acctbal": 2, "o_totalprice": 2}
 STR_COLS = {
     "nation": ["n_name"], "region": ["r_name"],
     "supplier": ["s_name"], "customer": ["c_mktsegment", "c_name"],
+    "orders": ["o_orderpriority"],
 }
 JOINS = [  # (left table, left col, right table, right col)
     ("nation", "n_regionkey", "region", "r_regionkey"),
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
     ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
 ]
 
 
@@ -104,6 +110,8 @@ class Gen:
 
     def query(self):
         r = self.r
+        if r.random() < 0.12:
+            return self.window_query()
         if r.random() < 0.5:
             t = r.choice(list(TABLES))
             from_ = t
@@ -148,6 +156,30 @@ class Gen:
             else:
                 items.append(self.num_expr(cols))
         return f"select {', '.join(items)} from {from_}{where}"
+
+    def window_query(self):
+        """Window functions over one table (tie-safe shapes only: rank /
+        dense_rank and default-RANGE-frame sum/min/max include peers, so
+        row order within ties cannot change the value)."""
+        r = self.r
+        t = r.choice(list(TABLES))
+        cols = TABLES[t]
+        scols = STR_COLS[t]
+        part = r.choice(cols + scols)
+        order = r.choice([c for c in cols if c != part] or cols)
+        fn = r.choice([f"rank() over (partition by {part} "
+                       f"order by {order})",
+                       f"dense_rank() over (partition by {part} "
+                       f"order by {order})",
+                       f"sum({r.choice(cols)}) over (partition by {part})",
+                       f"min({r.choice(cols)}) over (partition by {part} "
+                       f"order by {order})",
+                       f"count(*) over (partition by {part})"])
+        where = ""
+        if r.random() < 0.6:
+            where = f" where {self.predicate(cols, scols)}"
+        return (f"select {part} p, {order} o, {fn} w "
+                f"from {t}{where}")
 
 
 def _norm(rows):

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--substeps", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -215,6 +216,78 @@ def main():
                 speedup_pallas=round(med_x / med_p, 2))
         except Exception as e:  # noqa: BLE001
             rec(stage="pallas masked sum failed", error=str(e)[:200])
+
+    if args.substeps:
+        # ---- join-build decomposition: where do the 1–2 lost orders of
+        # magnitude live?  (VERDICT r4: build 3.1 Mrows/s vs scan 209)
+        from presto_tpu.ops import hashtable as HT2
+        nb2 = max(n // 4, 1)
+        bcap2 = HT2.capacity_for(nb2)
+        bk = jnp.asarray(
+            (np.arange(1, nb2 + 1, dtype=np.int64) * 2654435761)
+            % (1 << 31))
+        bmask = jnp.ones((nb2,), jnp.bool_)
+
+        @jax.jit
+        def s_sort(k, m):
+            sm, ks, perm = HT2._sort_rows([k], m)
+            return perm[0] + ks[0][0]
+
+        bench("build substep: sort_rows", s_sort, bk, bmask, per_rows=nb2)
+
+        @jax.jit
+        def s_runs(k, m):
+            sm, ks, perm = HT2._sort_rows([k], m)
+            newrun = HT2._run_starts(ks, sm)
+            gid = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+            return gid[-1]
+
+        bench("build substep: sort+runs+cumsum", s_runs, bk, bmask,
+              per_rows=nb2)
+
+        @jax.jit
+        def s_slot_scatter(k, m):
+            sm, ks, perm = HT2._sort_rows([k], m)
+            newrun = HT2._run_starts(ks, sm)
+            gid = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+            slot = jnp.zeros((nb2,), jnp.int32).at[perm].set(
+                jnp.where(sm, gid, -1))
+            return slot[0]
+
+        bench("build substep: +slot scatter", s_slot_scatter, bk, bmask,
+              per_rows=nb2)
+
+        @jax.jit
+        def s_slot_sorted(k, m):
+            # scatter-free inverse permutation: one more sort
+            sm, ks, perm = HT2._sort_rows([k], m)
+            newrun = HT2._run_starts(ks, sm)
+            gid = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+            vals = jnp.where(sm, gid, -1)
+            out = jax.lax.sort((perm, vals), num_keys=1, is_stable=False)
+            return out[1][0]
+
+        bench("build substep: +slot via 2nd sort", s_slot_sorted, bk,
+              bmask, per_rows=nb2)
+
+        @jax.jit
+        def s_bounds(k, m):
+            sm, ks, perm = HT2._sort_rows([k], m)
+            newrun = HT2._run_starts(ks, sm)
+            gid = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+            starts, ends = HT2.run_bounds(gid, newrun, sm, bcap2)
+            return starts[0] + ends[-1]
+
+        bench("build substep: +run_bounds scatter", s_bounds, bk, bmask,
+              per_rows=nb2)
+
+        @jax.jit
+        def s_full(k, m):
+            owner, slot, _ = HT2.insert([k], m, bcap2)
+            return owner[0] + slot[0]
+
+        bench("build substep: full insert", s_full, bk, bmask,
+              per_rows=nb2)
 
     if args.out:
         with open(args.out, "w") as f:
