@@ -24,7 +24,7 @@ GROUPS = [
     ("3,5,7,8,9", 4800),
     ("10,13,17,19", 4200),
     ("2,11,15,16,20", 4200),
-    ("18,21,22", 5400),
+    ("22,21,18", 5400),  # q18 last: a worker crash must not cost q21/q22
 ]
 
 results = {}

@@ -173,14 +173,20 @@ def main():
     nb = max(n // 4, 1)
     bcap = HT.capacity_for(nb)
 
-    @jax.jit
-    def op_build(nb_static=nb):
-        bk = jnp.arange(1, nb_static + 1, dtype=jnp.int64)
-        owner, slot, _ = HT.insert([bk], jnp.ones((nb_static,), jnp.bool_),
-                                   bcap)
-        return owner
+    bkeys = jnp.asarray((np.arange(1, nb + 1, dtype=np.int64)
+                         * 2654435761) % (1 << 31))
 
-    _, _ = bench(f"join build ({nb} unique keys)", op_build,
+    @jax.jit
+    def op_build(bk):
+        owner, slot, _ = HT.insert([bk], jnp.ones((nb,), jnp.bool_),
+                                   bcap)
+        # SCALAR fence with a full data dependency: returning the raw
+        # owner array made the old bench fetch 16 MB through the
+        # 14 MB/s tunnel — the committed 3.1 Mrows/s was fetch-bound,
+        # not compute (round-5 finding)
+        return jnp.sum(owner) + jnp.sum(slot)
+
+    _, _ = bench(f"join build ({nb} unique keys)", op_build, bkeys,
                  per_rows=nb)
 
     # sort permutation
