@@ -355,6 +355,10 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
                     validity=a.validity)
     if name == "concat":
         a, b = args
+        if a.kind == DICT or b.kind == DICT:
+            from .physical import dcol_to_bytes
+            a = dcol_to_bytes(a) if a.kind == DICT else a
+            b = dcol_to_bytes(b) if b.kind == DICT else b
         assert a.kind == BYTES and b.kind == BYTES, "concat on byte strings"
         wa, wb = a.values.shape[1], b.values.shape[1]
         out = jnp.zeros((n, wa + wb), jnp.uint8)

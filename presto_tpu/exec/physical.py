@@ -633,6 +633,10 @@ def _sort_key_arrays(chunk: Chunk, keys) -> List[Tuple[jnp.ndarray, bool]]:
             rank = np.argsort(np.argsort(
                 [str(s) for s in c.dictionary.strings]))
             packs = [jnp.asarray(rank)[c.values]]
+        elif jnp.issubdtype(c.values.dtype, jnp.floating):
+            # DOUBLE keys: order-preserving bit unfold (astype(int64)
+            # would truncate every fraction into one peer group)
+            packs = [SORT.float_sort_keys(c.values)]
         else:
             packs = [c.values]
         for p in packs:
@@ -799,6 +803,8 @@ def _window_norm_keys(chunk: Chunk, exprs, descs=None):
             # int128 (hi, lo) word pairs sort as two chained int64 keys
             for p in I128.sort_keys(*I128.unpack(c.values)):
                 out.append((p, desc))
+        elif jnp.issubdtype(c.values.dtype, jnp.floating):
+            out.append((SORT.float_sort_keys(c.values), desc))
         else:
             out.append((c.values.astype(jnp.int64), desc))
     return out

@@ -359,10 +359,14 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
         n = child.n_rows
         for name, sub in plan.bindings:
             sc, srep = execute_traced(sub, ctx)
-            assert srep, "scalar subquery must end replicated"
+            if not srep:
+                sc = ctx.gather(sc)  # sharded single-row subplan
             (cname, c), = sc.cols.items()
-            v = c.values[0]
-            valid = c.valid_or_true()[0] & sc.mask[0]
+            # first VALID row: a non-aggregated scalar subquery is a
+            # full-width chunk with ONE masked-in row (EnforceSingleRow)
+            first = jnp.argmax(sc.mask.astype(jnp.int32))
+            v = c.values[first]
+            valid = c.valid_or_true()[first] & sc.mask[first]
             shape = (n, 2) if v.ndim == 1 else (n,)
             cols[name] = DCol(c.dtype, PLAIN,
                               jnp.broadcast_to(v, shape),

@@ -630,6 +630,12 @@ class Planner:
                 l = self._resolve(node.left, scope, outer)
                 r = self._resolve(node.right, scope, outer)
                 return ir.arith(node.op, l, r)
+            if node.op == "||":
+                l = self._resolve(node.left, scope, outer)
+                r = self._resolve(node.right, scope, outer)
+                la = sum((a.dtype.length or 64) for a in (l, r)
+                         if T.is_string(a.dtype))
+                return ir.Func("concat", (l, r), T.varchar(la or 128))
             raise NotImplementedError(f"op {node.op}")
         if isinstance(node, ast.UnaryOp):
             if node.op == "-":
@@ -1600,6 +1606,12 @@ class Planner:
         return ir.ColumnRef(name, self._post_scope.resolve((name,))[1])
 
     def resolve_post_agg(self, node: ast.Node, post_scope: Scope) -> ir.Expr:
+        if isinstance(node, ast.ScalarSubquery):
+            sm = getattr(self, "_scalar_map", None)
+            if sm is not None and id(node) in sm:
+                return sm[id(node)]
+            raise NotImplementedError(
+                "post-aggregation expression ScalarSubquery")
         if isinstance(node, ast.WindowExpr):
             wm = getattr(self, "_window_map", None)
             if wm is not None and id(node) in wm:
@@ -1696,6 +1708,9 @@ class Planner:
                            self.resolve_post_agg(node.lo, post_scope),
                            self.resolve_post_agg(node.hi, post_scope))
             return ir.Not(e) if node.negated else e
+        if isinstance(node, ast.CastExpr):
+            a = self.resolve_post_agg(node.arg, post_scope)
+            return ir.Cast(a, _parse_type(node.type_name))
         # fall back: group expression spelled structurally
         e = self.resolve(node, self._cur_scope, self._cur_outer)
         if e in self._group_map:
@@ -2220,6 +2235,33 @@ class Planner:
                 rel = self._apply_scalar_compare(
                     cur, other, op, sub_side.query, negated, outer, post_agg)
                 return rel
+        # scalar subqueries inside arbitrary expressions (e.g. HAVING
+        # avg(x) > 0.9 * (select ...)): bind each as a broadcast column
+        # (EnforceSingleRow role) and resolve the whole predicate
+        subs: List[ast.ScalarSubquery] = []
+        self._collect_scalar_subqueries(node, subs)
+        if subs and not self._contains_in_or_exists(node):
+            self._scalar_map = getattr(self, "_scalar_map", {})
+            state = self._save_agg_state()
+            bindings = []
+            for sq in subs:
+                if id(sq) in self._scalar_map:
+                    continue
+                sub = self.plan_query(sq.query, outer=None)
+                scol = _output_order(sub.plan)[0]
+                dtype = sub.scope.resolve((scol,))[1]
+                name = self.fresh("scalar")
+                bindings.append((name, sub.plan))
+                self._scalar_map[id(sq)] = ir.ColumnRef(name, dtype)
+                cur.scope.add(None, name, name, dtype)
+                cur.columns.add(name)
+            self._restore_agg_state(state)
+            if bindings:
+                cur.plan = P.PhysScalarBind(cur.plan, tuple(bindings))
+            pred = (self.resolve_post_agg(c, cur.scope) if post_agg
+                    else self.resolve(c, cur.scope, outer))
+            cur.plan = P.PhysFilter(cur.plan, pred)
+            return cur
         # subquery under OR / mixed boolean shape: rewrite each
         # uncorrelated IN/EXISTS arm into a MARK semi-join column
         # (reference: SemiJoinNode's output symbol consumed by a filter,
@@ -2230,6 +2272,21 @@ class Planner:
                 else self.resolve(new_node, cur.scope, outer))
         cur.plan = P.PhysFilter(cur.plan, pred)
         return cur
+
+    @staticmethod
+    def _contains_in_or_exists(node) -> bool:
+        if isinstance(node, (ast.InSubquery, ast.ExistsExpr)):
+            return True
+        for attr in ("left", "right", "arg", "lo", "hi"):
+            c = getattr(node, attr, None)
+            if isinstance(c, ast.Node) and \
+                    Planner._contains_in_or_exists(c):
+                return True
+        if isinstance(node, ast.FuncCall):
+            return any(isinstance(a, ast.Node)
+                       and Planner._contains_in_or_exists(a)
+                       for a in node.args)
+        return False
 
     def _mark_subqueries(self, cur: Rel, node):
         """Replace uncorrelated InSubquery/Exists nodes anywhere in a

@@ -1062,9 +1062,213 @@ where d_date between date '1999-02-01' and date '1999-04-02'
   and not exists (select 1 from web_returns wr1
                   where ws1.ws_order_number = wr1.wr_order_number)
 """,
+    9: """
+select case when (select count(*) from store_sales
+                  where ss_quantity between 1 and 20) > 409437
+            then (select avg(ss_ext_discount_amt) from store_sales
+                  where ss_quantity between 1 and 20)
+            else (select avg(ss_net_paid) from store_sales
+                  where ss_quantity between 1 and 20) end bucket1,
+       case when (select count(*) from store_sales
+                  where ss_quantity between 21 and 40) > 4595804
+            then (select avg(ss_ext_discount_amt) from store_sales
+                  where ss_quantity between 21 and 40)
+            else (select avg(ss_net_paid) from store_sales
+                  where ss_quantity between 21 and 40) end bucket2,
+       case when (select count(*) from store_sales
+                  where ss_quantity between 41 and 60) > 7887297
+            then (select avg(ss_ext_discount_amt) from store_sales
+                  where ss_quantity between 41 and 60)
+            else (select avg(ss_net_paid) from store_sales
+                  where ss_quantity between 41 and 60) end bucket3
+from reason
+where r_reason_sk = 1
+""",
+    32: """
+select sum(cs_ext_discount_amt) excess_discount_amount
+from catalog_sales, item, date_dim
+where i_manufact_id = 977
+  and i_item_sk = cs_item_sk
+  and d_date between date '2000-01-27' and date '2000-04-26'
+  and d_date_sk = cs_sold_date_sk
+  and cs_ext_discount_amt > (
+    select 1.3 * avg(cs_ext_discount_amt)
+    from catalog_sales, date_dim
+    where cs_item_sk = i_item_sk
+      and d_date between date '2000-01-27' and date '2000-04-26'
+      and d_date_sk = cs_sold_date_sk)
+limit 100
+""",
+    36: """
+select gross_margin, i_category, i_class, lochierarchy, rank_within_parent
+from (select cast(sum(ss_net_profit) as double)
+             / cast(sum(ss_ext_sales_price) as double) gross_margin,
+             i_category, i_class,
+             grouping(i_category) + grouping(i_class) lochierarchy,
+             rank() over (
+               partition by grouping(i_category) + grouping(i_class),
+                            case when grouping(i_class) = 0
+                                 then i_category end
+               order by cast(sum(ss_net_profit) as double)
+                        / cast(sum(ss_ext_sales_price) as double) asc)
+               rank_within_parent
+      from store_sales, date_dim, item, store
+      where d_year = 2001
+        and d_date_sk = ss_sold_date_sk
+        and i_item_sk = ss_item_sk
+        and s_store_sk = ss_store_sk
+        and s_state in ('TN', 'KY')
+      group by rollup(i_category, i_class)) t
+order by lochierarchy desc, rank_within_parent
+limit 100
+""",
+    44: """
+select asceding.rnk, i1.i_product_name best_performing,
+       i2.i_product_name worst_performing
+from (select v1.item_sk, rank() over (order by v1.rank_col asc) rnk
+      from (select ss_item_sk item_sk, avg(ss_net_profit) rank_col
+            from store_sales
+            where ss_store_sk = 4
+            group by ss_item_sk
+            having avg(ss_net_profit) > 0.9 * (
+              select avg(ss_net_profit) rank_col from store_sales
+              where ss_store_sk = 4 and ss_hdemo_sk is null)) v1) asceding,
+     (select v2.item_sk, rank() over (order by v2.rank_col desc) rnk
+      from (select ss_item_sk item_sk, avg(ss_net_profit) rank_col
+            from store_sales
+            where ss_store_sk = 4
+            group by ss_item_sk
+            having avg(ss_net_profit) > 0.9 * (
+              select avg(ss_net_profit) rank_col from store_sales
+              where ss_store_sk = 4 and ss_hdemo_sk is null)) v2) descending,
+     item i1, item i2
+where asceding.rnk = descending.rnk
+  and i1.i_item_sk = asceding.item_sk
+  and i2.i_item_sk = descending.item_sk
+  and asceding.rnk < 11
+order by asceding.rnk
+limit 100
+""",
+    58: """
+with ss_items as (
+  select i_item_id item_id, sum(ss_ext_sales_price) ss_item_rev
+  from store_sales, item, date_dim
+  where ss_item_sk = i_item_sk
+    and d_date in (select d_date from date_dim
+                   where d_week_seq = (select d_week_seq from date_dim
+                                       where d_date = date '2000-01-03'))
+    and ss_sold_date_sk = d_date_sk
+  group by i_item_id),
+ cs_items as (
+  select i_item_id item_id, sum(cs_ext_sales_price) cs_item_rev
+  from catalog_sales, item, date_dim
+  where cs_item_sk = i_item_sk
+    and d_date in (select d_date from date_dim
+                   where d_week_seq = (select d_week_seq from date_dim
+                                       where d_date = date '2000-01-03'))
+    and cs_sold_date_sk = d_date_sk
+  group by i_item_id),
+ ws_items as (
+  select i_item_id item_id, sum(ws_ext_sales_price) ws_item_rev
+  from web_sales, item, date_dim
+  where ws_item_sk = i_item_sk
+    and d_date in (select d_date from date_dim
+                   where d_week_seq = (select d_week_seq from date_dim
+                                       where d_date = date '2000-01-03'))
+    and ws_sold_date_sk = d_date_sk
+  group by i_item_id)
+select ss_items.item_id, ss_item_rev,
+       cs_item_rev, ws_item_rev
+from ss_items, cs_items, ws_items
+where ss_items.item_id = cs_items.item_id
+  and ss_items.item_id = ws_items.item_id
+  and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+  and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+order by ss_items.item_id, ss_item_rev
+limit 100
+""",
+    84: """
+select c_customer_id customer_id,
+       c_last_name || ', ' || c_first_name customername
+from customer, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+where ca_city = 'Edgewood'
+  and c_current_addr_sk = ca_address_sk
+  and ib_lower_bound >= 38128
+  and ib_upper_bound <= 38128 + 50000
+  and ib_income_band_sk = hd_income_band_sk
+  and cd_demo_sk = c_current_cdemo_sk
+  and hd_demo_sk = c_current_hdemo_sk
+  and sr_cdemo_sk = cd_demo_sk
+order by c_customer_id
+limit 100
+""",
+    90: """
+select cast(amc as double) / cast(pmc as double) am_pm_ratio
+from (select count(*) amc from web_sales, household_demographics,
+             time_dim, web_page
+      where ws_sold_time_sk = time_dim.t_time_sk
+        and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        and ws_web_page_sk = web_page.wp_web_page_sk
+        and t_hour between 8 and 9
+        and household_demographics.hd_dep_count = 6
+        and web_page.wp_char_count between 5000 and 5200) at1,
+     (select count(*) pmc from web_sales, household_demographics,
+             time_dim, web_page
+      where ws_sold_time_sk = time_dim.t_time_sk
+        and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        and ws_web_page_sk = web_page.wp_web_page_sk
+        and t_hour between 19 and 20
+        and household_demographics.hd_dep_count = 6
+        and web_page.wp_char_count between 5000 and 5200) pt
+order by am_pm_ratio
+limit 100
+""",
+    91: """
+select cc_call_center_id call_center, cc_name call_center_name,
+       cc_manager manager, sum(cr_net_loss) returns_loss
+from call_center, catalog_returns, date_dim, customer,
+     customer_address, customer_demographics, household_demographics
+where cr_call_center_sk = cc_call_center_sk
+  and cr_returned_date_sk = d_date_sk
+  and cr_returning_customer_sk = c_customer_sk
+  and cd_demo_sk = c_current_cdemo_sk
+  and hd_demo_sk = c_current_hdemo_sk
+  and ca_address_sk = c_current_addr_sk
+  and d_year = 1998 and d_moy = 11
+  and ((cd_marital_status = 'M' and cd_education_status = 'Unknown')
+       or (cd_marital_status = 'W'
+           and cd_education_status = 'Advanced Degree'))
+  and hd_buy_potential like 'Unknown%'
+  and ca_gmt_offset = -7
+group by cc_call_center_id, cc_name, cc_manager,
+         cd_marital_status, cd_education_status
+order by returns_loss desc
+""",
+    95: """
+with ws_wh as (
+  select ws1.ws_order_number
+  from web_sales ws1, web_sales ws2
+  where ws1.ws_order_number = ws2.ws_order_number
+    and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+select count(distinct ws_order_number) order_count,
+       sum(ws_ext_ship_cost) total_shipping_cost,
+       sum(ws_net_profit) total_net_profit
+from web_sales ws1, date_dim, customer_address, web_site
+where d_date between date '1999-02-01' and date '1999-04-02'
+  and ws1.ws_ship_date_sk = d_date_sk
+  and ws1.ws_ship_addr_sk = ca_address_sk
+  and ca_state = 'IL'
+  and ws1.ws_web_site_sk = web_site_sk
+  and web_company_name = 'pri'
+  and ws1.ws_order_number in (select ws_order_number from ws_wh)
+  and ws1.ws_order_number in (select wr_order_number
+                              from web_returns, ws_wh
+                              where wr_order_number = ws_wh.ws_order_number)
+""",
 }
 
 # queries whose outputs include float-producing aggregates (avg, ratios):
 # the differential test compares those columns with a tolerance instead
 # of exactly (engine = exact decimal, SQLite = float)
-FUZZY = {7, 13, 26, 65, 12, 20, 27, 28, 98, 47, 53, 57, 61, 63, 89, 92}
+FUZZY = {7, 13, 26, 65, 12, 20, 27, 28, 98, 47, 53, 57, 61, 63, 89, 92, 9, 32, 36, 44, 90}

@@ -149,6 +149,30 @@ select * from (
 order by i_item_id is null, i_item_id, s_state is null, s_state
 limit 100
 """,
+    36: """
+with base as (
+  select ss_net_profit np, ss_ext_sales_price sp, i_category, i_class
+  from store_sales, date_dim, item, store
+  where d_year = 2001 and d_date_sk = ss_sold_date_sk
+    and i_item_sk = ss_item_sk and s_store_sk = ss_store_sk
+    and s_state in ('TN', 'KY')),
+ lv as (
+  select i_category, i_class, 0 loch,
+         sum(np) * 1.0 / sum(sp) gm
+  from base group by i_category, i_class
+  union all
+  select i_category, null, 1, sum(np) * 1.0 / sum(sp)
+  from base group by i_category
+  union all
+  select null, null, 2, sum(np) * 1.0 / sum(sp) from base)
+select gm gross_margin, i_category, i_class, loch lochierarchy,
+       rank() over (
+         partition by loch, case when loch = 0 then i_category end
+         order by gm asc) rank_within_parent
+from lv
+order by loch desc, rank_within_parent
+limit 100
+""",
     # sqlite rejects parenthesized compound-select operands
     87: """
 select count(*) c
@@ -199,6 +223,8 @@ def test_tpcds_vs_sqlite(qid, runner, sqlite_db):
             return Counter(out)
 
         assert len(got_rows) == len(exp_rows), qid
+        if not got_rows:
+            return  # both empty: agreed
         cg, ce = canon(got_rows), canon(exp_rows)
         overlap = sum((cg & ce).values())
         need = max(1, int(0.95 * len(got_rows)))
