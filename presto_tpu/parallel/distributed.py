@@ -528,9 +528,9 @@ def _shrink_traced(plan, out: Chunk, ctx: TraceCtx) -> Chunk:
     if est <= 0 or ctx is None or not out.cols:
         return out
     mult = ctx.site_mult(plan, "shrink")
-    cap = HT.next_pow2(max(int(est * 3), 1 << 12)) * mult
-    if cap * 4 > out.n_rows:
-        return out  # <4x saving: the compaction sort wouldn't pay
+    cap = HT.next_pow2(max(int(est * 2), 1 << 12)) * mult
+    if cap * 2 > out.n_rows:
+        return out  # <2x saving: the compaction sort wouldn't pay
     count = jnp.sum(out.mask, dtype=jnp.int64)
     ctx.report_overflow(plan, "shrink", count > cap)
     return PH._compact_kernel(out, cap)
