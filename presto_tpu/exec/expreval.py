@@ -306,15 +306,29 @@ def _eval_func(expr: ir.Func, chunk: Chunk) -> DCol:
                     validity=a.validity)
     if name == "coalesce":
         rs = _scale_of(expr.dtype)
+        cols = [(_rescale_col(a, rs) if T.is_decimal(expr.dtype) else a)
+                for a in args]
+        # harmonize int128 word-pair vs int64 representations (a long
+        # decimal branch makes every branch (n, 2))
+        if any(c.values.ndim == 2 for c in cols):
+            from ..ops import int128 as I128
+
+            def widen(c):
+                if c.values.ndim == 2:
+                    return c
+                hi, lo = I128.from_i64(c.values.astype(jnp.int64))
+                return DCol(c.dtype, PLAIN, I128.pack(hi, lo),
+                            validity=c.validity)
+            cols = [widen(c) for c in cols]
         out = None
         valid = None
-        for a in args:
-            a = _rescale_col(a, rs) if T.is_decimal(expr.dtype) else a
+        for a in cols:
             av = a.valid_or_true()
             if out is None:
                 out, valid = a.values, av
             else:
-                out = jnp.where(valid, out, a.values)
+                sel = valid[:, None] if out.ndim == 2 else valid
+                out = jnp.where(sel, out, a.values)
                 valid = valid | av
         return DCol(expr.dtype, PLAIN, out, validity=valid)
     if name == "nullif":

@@ -772,9 +772,23 @@ def concat_chunks(chunks: List[Chunk]) -> Chunk:
             validity = _concat_validity(cols)
             total_cols[name] = DCol(cols[0].dtype, BYTES, vals, lens, validity)
         else:
+            if any(c.values.ndim == 2 for c in cols) \
+                    and not all(c.values.ndim == 2 for c in cols):
+                # harmonize long-decimal int128 word pairs with int64
+                # branches (scales already aligned by planner casts)
+                from ..ops import int128 as I128
+
+                def _wide(c):
+                    if c.values.ndim == 2:
+                        return c
+                    hi, lo = I128.from_i64(c.values.astype(jnp.int64))
+                    return DCol(c.dtype, c.kind, I128.pack(hi, lo),
+                                None, c.validity, c.dictionary)
+                cols = [_wide(c) for c in cols]
             vals = jnp.concatenate([c.values for c in cols])
             validity = _concat_validity(cols)
-            total_cols[name] = DCol(cols[0].dtype, cols[0].kind, vals,
+            wide = next((c for c in cols if c.values.ndim == 2), cols[0])
+            total_cols[name] = DCol(wide.dtype, cols[0].kind, vals,
                                     None, validity, cols[0].dictionary)
     mask = jnp.concatenate([ch.mask for ch in chunks])
     return Chunk(total_cols, mask)
@@ -1968,6 +1982,8 @@ def _join_core(plan: PhysHashJoin, probe: Chunk, build: Chunk,
         return _join_mark(plan, probe, build, table, has_null)
     table = _build_kernel(build, plan.build_keys, capacity)
     probe = _dynamic_filter(plan, probe, build, ctx)
+    if plan.kind == "full":
+        return _join_full(plan, probe, build, table, ctx)
     fast_unique = plan.unique_build and plan.filter is None
     if fast_unique and plan.kind in ("inner", "left", "semi", "anti"):
         return _join_unique(plan, probe, build, table, ctx)
@@ -2134,7 +2150,7 @@ def _join_unique(plan, probe, build, table, ctx) -> Chunk:
 def _join_expand(plan: PhysHashJoin, probe: Chunk, build: Chunk,
                  table, ctx: ExecContext) -> Chunk:
     slot, cnt = _probe_counts_kernel(table, probe, plan.probe_keys)
-    left_like = plan.kind in ("left", "semi", "anti")
+    left_like = plan.kind in ("left", "full", "semi", "anti")
     # semi/anti with a residual filter expand too (then reduce per probe row)
     if plan.kind in ("semi", "anti") and plan.filter is None:
         found = slot >= 0
@@ -2161,7 +2177,7 @@ def _join_expand_pairs(plan: PhysHashJoin, probe: Chunk, build: Chunk,
     ``operator/join/DefaultPageJoiner.java:63``).
 
     Returns ``(chunk, overflow)`` — chunk is NOT compacted."""
-    left_like = plan.kind in ("left", "semi", "anti")
+    left_like = plan.kind in ("left", "full", "semi", "anti")
     eff = jnp.where(probe.mask & (cnt == 0), 1, cnt) if left_like else cnt
     total = jnp.sum(jnp.where(probe.mask, eff, 0))
     overflow = total > out_size
@@ -2194,7 +2210,7 @@ def _join_expand_pairs(plan: PhysHashJoin, probe: Chunk, build: Chunk,
         mask = probe.mask & (hit if plan.kind == "semi" else ~hit)
         return Chunk(dict(probe.cols), mask), overflow
 
-    if plan.kind == "left":
+    if plan.kind in ("left", "full"):
         # outer semantics with residual filter (reference:
         # operator/join/DefaultPageJoiner.java:296 outerJoinCurrentPosition):
         # a probe row whose matches ALL fail the filter is null-extended —
@@ -2219,3 +2235,46 @@ def _join_expand_pairs(plan: PhysHashJoin, probe: Chunk, build: Chunk,
         return Chunk(pairs.cols, mask), overflow
 
     return Chunk(pairs.cols, keep_pair), overflow
+
+
+def _full_join_tail(plan: PhysHashJoin, probe: Chunk, build: Chunk,
+                    pcap: int) -> Chunk:
+    """Unmatched-build rows of a FULL join, probe columns null-extended
+    (reference: ``operator/join/LookupJoinOperatorFactory.java:52``
+    FULL_OUTER — unvisited build positions are emitted by
+    LookupOuterOperator after the probe finishes).  Found by a REVERSE
+    semi-probe: build keys against a table over the non-NULL probe keys
+    (equi-only; planner rejects FULL with residual filters)."""
+    pnn = probe.mask
+    for e in plan.probe_keys:
+        c = eval_expr(e, probe)
+        if c.validity is not None:
+            pnn = pnn & c.validity
+    ptable = HT.build(_key_arrays(probe, plan.probe_keys), pnn, pcap)
+    slot, _ = HT.probe_counts(ptable, _key_arrays(build, plan.build_keys),
+                              build.mask)
+    bnn = build.mask
+    for e in plan.build_keys:
+        c = eval_expr(e, build)
+        if c.validity is not None:
+            bnn = bnn & c.validity
+    unmatched = build.mask & ~((slot >= 0) & bnn)
+    nb = build.n_rows
+    zeros = jnp.zeros((nb,), jnp.int32)
+    never = jnp.zeros((nb,), jnp.bool_)
+    cols = {n: c.take(zeros, valid=never) for n, c in probe.cols.items()}
+    for out_name, bcol in plan.build_payload:
+        cols[out_name] = build.cols[bcol]
+    return Chunk(cols, unmatched)
+
+
+def _join_full(plan: PhysHashJoin, probe: Chunk, build: Chunk, table,
+               ctx: ExecContext) -> Chunk:
+    """FULL OUTER join = probe-outer expansion + null-extended
+    unmatched-build tail, concatenated (both halves static-shape)."""
+    if plan.filter is not None:
+        raise NotImplementedError("FULL JOIN with residual filter")
+    pairs = _join_expand(plan, probe, build, table, ctx)
+    pcap = HT.capacity_for(max(int(jnp.sum(probe.mask)), 1))
+    tail = _full_join_tail(plan, probe, build, pcap)
+    return concat_chunks([pairs, tail])

@@ -328,6 +328,9 @@ def execute_traced(plan: PH.PhysOp, ctx: TraceCtx):
         parts = [execute_traced(c, ctx) for c in plan.inputs]
         reps = {r for _, r in parts}
         if len(reps) > 1:
+            if ctx.single:
+                # one device: replicated and sharded coincide, no axis
+                return PH.concat_chunks([c for c, _ in parts]), True
             # mixed UNION: deflate replicated inputs so every branch is
             # sharded (strided ownership — UNION output is unordered)
             parts = [(c if not r else deflate_chunk(c), False)
@@ -593,6 +596,15 @@ def _traced_join(plan: PH.PhysHashJoin, ctx: TraceCtx) -> Chunk:
     out, ovf = PH._join_expand_pairs(plan, probe, build, table, slot, cnt,
                                      out_size)
     ctx.report_overflow(plan, "expand", ovf)
+    if plan.kind == "full":
+        if not ctx.single:
+            # per-shard unmatched-build tails are only globally correct
+            # under a key-partitioned exchange; keep the multi-device
+            # surface conservative for now
+            raise NotImplementedError("distributed FULL JOIN")
+        tail = PH._full_join_tail(plan, probe, build,
+                                  HT.capacity_for(probe.n_rows))
+        out = PH.concat_chunks([out, tail])
     return out, orep
 
 

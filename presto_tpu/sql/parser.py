@@ -261,13 +261,18 @@ class Parser:
             if self.accept("kw", "cross"):
                 self.expect("kw", "join")
                 kind = "cross"
-            elif self.at_kw("join", "inner", "left", "right"):
+            elif self.at_kw("join", "inner", "left", "right") or \
+                    (self.peek().kind == "name" and
+                     self.peek().value == "full"):
                 if self.accept("kw", "left"):
                     self.accept("kw", "outer")
                     kind = "left"
                 elif self.accept("kw", "right"):
                     self.accept("kw", "outer")
                     kind = "right"
+                elif self.accept("name", "full"):
+                    self.accept("kw", "outer")
+                    kind = "full"
                 else:
                     self.accept("kw", "inner")
                     kind = "inner"
@@ -339,7 +344,8 @@ class Parser:
         alias = None
         if self.accept("kw", "as"):
             alias = self.expect("name").value
-        elif self.peek().kind == "name":
+        elif self.peek().kind == "name" and self.peek().value != "full":
+            # `full` opens a FULL [OUTER] JOIN, never an implicit alias
             alias = self.next().value
         return ast.TableRef(tuple(parts), alias)
 
@@ -621,6 +627,11 @@ class Parser:
                     raise SyntaxError(f"bad interval unit {unit}")
                 return ast.IntervalLit(v, unit)
             if self.accept("kw", "case"):
+                # simple CASE (`CASE e WHEN v THEN r ...`) desugars into
+                # the searched form with `e = v` conditions
+                operand = None
+                if not self.at_kw("when"):
+                    operand = self.parse_expr()
                 whens = []
                 default = None
                 while self.accept("kw", "when"):
@@ -631,6 +642,9 @@ class Parser:
                 if self.accept("kw", "else"):
                     default = self.parse_expr()
                 self.expect("kw", "end")
+                if operand is not None:
+                    whens = [(ast.BinaryOp("=", operand, c), v)
+                             for c, v in whens]
                 return ast.CaseExpr(whens, default)
             if self.accept("kw", "cast"):
                 self.expect("op", "(")

@@ -71,6 +71,14 @@ def _add_interval(d: dt.date, n: int, unit: str) -> dt.date:
 # ---------------------------------------------------------------- scopes
 
 @dataclass
+class _PreResolved(ast.Node):
+    """AST shim carrying an already-resolved IR expression — lets the
+    post-aggregation resolver hand pre-resolved argument exprs back
+    through the scalar-function machinery."""
+    expr: object
+
+
+@dataclass
 class Scope:
     # (alias_or_None, column_name) -> (physical_name, dtype)
     entries: Dict[Tuple[Optional[str], str], Tuple[str, T.DataType]] = dfield(
@@ -177,7 +185,31 @@ class Planner:
         rel = self.plan_query(query, outer=None)
         return rel.plan
 
+    @staticmethod
+    def _desugar_ordinals(q: ast.Select) -> None:
+        """GROUP BY 1 / ORDER BY 2: bare integer literals are output
+        ordinals (reference: StatementAnalyzer ordinal resolution).
+        Idempotent in-place rewrite (CTE ASTs replan per reference)."""
+        def item(n):
+            if not (1 <= n <= len(q.items)) or \
+                    isinstance(q.items[n - 1].expr, ast.Star):
+                raise KeyError(f"ordinal {n} out of select-list range")
+            return q.items[n - 1]
+
+        q.group_by = [
+            (item(int(g.text)).expr
+             if isinstance(g, ast.NumberLit) and g.text.isdigit() else g)
+            for g in q.group_by]
+        for oi in q.order_by:
+            e = oi.expr
+            if isinstance(e, ast.NumberLit) and e.text.isdigit():
+                it = item(int(e.text))
+                oi.expr = (ast.Ident((it.alias,)) if it.alias
+                           else it.expr)
+
     def plan_query(self, q, outer) -> Rel:
+        if isinstance(q, ast.Select):
+            self._desugar_ordinals(q)
         if isinstance(q, ast.SetOp):
             return self.plan_setop(q, outer)
         if isinstance(q, ast.Select) and q.group_by and \
@@ -195,6 +227,17 @@ class Planner:
         once per set)."""
         gs = q.group_by[0]
         assert len(q.group_by) == 1, "grouping sets mixed with plain keys"
+        # WITH clauses register here too: plan_query dispatches grouping
+        # sets BEFORE plan_select's CTE registration runs
+        saved_ctes = dict(self.ctes)
+        for name, cq in q.with_ctes:
+            self.ctes[name] = cq
+        try:
+            return self._plan_grouping_sets_body(q, gs, outer)
+        finally:
+            self.ctes = saved_ctes
+
+    def _plan_grouping_sets_body(self, q: ast.Select, gs, outer) -> Rel:
         cur = self._plan_from_where(q, outer)
 
         all_keys = _flatten_sets(gs)
@@ -535,6 +578,8 @@ class Planner:
     _mr_symbols: Optional[set] = None
 
     def _resolve(self, node, scope, outer) -> ir.Expr:
+        if isinstance(node, _PreResolved):
+            return node.expr
         if isinstance(node, ast.Ident):
             if node.parts == ("null",):
                 return ir.Literal(None, T.BIGINT)
@@ -1005,7 +1050,7 @@ class Planner:
         ONCE and expand it through PhysGroupId)."""
         # 1. FROM → base relations (+ structured outer joins)
         rels: List[Rel] = []
-        left_specs: List[Tuple[int, Rel, List[ast.Node]]] = []
+        left_specs: List[Tuple[int, Rel, List[ast.Node], str]] = []
         on_conjuncts: List[ast.Node] = []
 
         def add_relation(r: ast.Node):
@@ -1028,8 +1073,9 @@ class Planner:
                     add_relation(r.right)
                     if r.on is not None:
                         on_conjuncts.extend(self.split_and(r.on))
-                elif r.kind in ("left", "right"):
-                    l, rr = (r.left, r.right) if r.kind == "left" else (r.right, r.left)
+                elif r.kind in ("left", "right", "full"):
+                    l, rr = (r.right, r.left) if r.kind == "right" \
+                        else (r.left, r.right)
                     add_relation(l)
                     left_idx = len(rels) - 1
                     if isinstance(rr, ast.TableRef):
@@ -1040,7 +1086,8 @@ class Planner:
                     else:
                         raise NotImplementedError("nested join right side")
                     left_specs.append(
-                        (left_idx, right_rel, self.split_and(r.on)))
+                        (left_idx, right_rel, self.split_and(r.on),
+                         "full" if r.kind == "full" else "left"))
                 else:
                     raise NotImplementedError(r.kind)
             else:
@@ -1054,7 +1101,7 @@ class Planner:
         full_scope = rels[0].scope
         for r in rels[1:]:
             full_scope = full_scope.merged(r.scope)
-        for _, rr, _ in left_specs:
+        for _, rr, _, _ in left_specs:
             full_scope = full_scope.merged(rr.scope)
 
         # 2. WHERE conjuncts: subquery vs plain
@@ -1077,9 +1124,10 @@ class Planner:
         # 3. inner join tree
         cur = self.build_join_tree(rels, now)
 
-        # 3b. structured LEFT JOINs, then deferred conjuncts
-        for left_idx, right_rel, on in left_specs:
-            cur = self.apply_left_join(cur, right_rel, on, outer)
+        # 3b. structured LEFT/FULL JOINs, then deferred conjuncts
+        for left_idx, right_rel, on, jkind in left_specs:
+            cur = self.apply_left_join(cur, right_rel, on, outer,
+                                       kind=jkind)
             full_scope = cur.scope
         for c in deferred:
             cur.plan = P.PhysFilter(cur.plan, c)
@@ -1711,6 +1759,18 @@ class Planner:
         if isinstance(node, ast.CastExpr):
             a = self.resolve_post_agg(node.arg, post_scope)
             return ir.Cast(a, _parse_type(node.type_name))
+        if isinstance(node, ast.FuncCall):
+            # scalar function over post-agg exprs (e.g. SELECT
+            # substr(group_key, 1, 20), round(sum(x)/count(y), 2)):
+            # resolve the args in the post-agg scope, then hand the call
+            # through the normal scalar machinery via _PreResolved shims
+            args = tuple(
+                a if isinstance(a, ast.Star)
+                else _PreResolved(self.resolve_post_agg(a, post_scope))
+                for a in node.args)
+            return self._resolve_scalar_func(
+                ast.FuncCall(node.name, args), self._cur_scope,
+                self._cur_outer)
         # fall back: group expression spelled structurally
         e = self.resolve(node, self._cur_scope, self._cur_outer)
         if e in self._group_map:
@@ -2167,7 +2227,8 @@ class Planner:
     # ---- outer joins ----
 
     def apply_left_join(self, cur: Rel, right: Rel,
-                        on: List[ast.Node], outer) -> Rel:
+                        on: List[ast.Node], outer,
+                        kind: str = "left") -> Rel:
         scope = cur.scope.merged(right.scope)
         cons = [self.resolve(c, scope, outer) for c in on]
         equi_l, equi_r, residual = [], [], []
@@ -2189,6 +2250,10 @@ class Planner:
                     equi_r.append(c.left)
                     continue
             residual.append(c)
+        if kind == "full" and (residual or right_filters):
+            # ON-clause single-side predicates / residuals change FULL
+            # join retention semantics — keep the supported surface equi-only
+            raise NotImplementedError("FULL JOIN requires pure equi ON")
         rplan = right.plan
         for f in right_filters:
             rplan = P.PhysFilter(rplan, f)
@@ -2196,14 +2261,15 @@ class Planner:
         unique = any(u <= bset for u in right.unique_keys)
         payload = tuple((c, c) for c in sorted(right.columns))
         plan = P.PhysHashJoin(
-            cur.plan, rplan, tuple(equi_l), tuple(equi_r), kind="left",
+            cur.plan, rplan, tuple(equi_l), tuple(equi_r), kind=kind,
             unique_build=unique, build_payload=payload,
             filter=ir.and_(*residual) if residual else None,
             build_est=right.est, probe_est=cur.est,
             build_cap_est=max(right.base, right.est),
             out_est=cur.est if unique else -1.0)
         return Rel(plan, scope, cur.columns | right.columns,
-                   [], cur.est * (1 if unique else 4))
+                   [], cur.est * (1 if unique else 4)
+                   + (right.est if kind == "full" else 0))
 
     # ---- subquery conjuncts ----
 
@@ -2244,9 +2310,14 @@ class Planner:
             self._scalar_map = getattr(self, "_scalar_map", {})
             state = self._save_agg_state()
             bindings = []
+            seen_here = set()
             for sq in subs:
-                if id(sq) in self._scalar_map:
-                    continue
+                if id(sq) in seen_here:
+                    continue  # same node twice within THIS predicate
+                # NOTE: a map hit from a PREVIOUS plan of the same AST
+                # (a CTE replayed per reference) is stale — its binding
+                # lives in another plan instance; always rebind
+                seen_here.add(id(sq))
                 sub = self.plan_query(sq.query, outer=None)
                 scol = _output_order(sub.plan)[0]
                 dtype = sub.scope.resolve((scol,))[1]
@@ -2299,7 +2370,11 @@ class Planner:
             return cur, e
         if isinstance(node, ast.ExistsExpr):
             cur, name = self._mark_exists(cur, node.query)
-            e = ast.Ident((name,))
+            # EXISTS is 2-valued (never NULL): a NULL correlation key or
+            # NULL build keys mean "no match" = FALSE, unlike IN
+            false = ast.BinaryOp("=", ast.NumberLit("1"),
+                                 ast.NumberLit("0"))
+            e = ast.FuncCall("ifnull", (ast.Ident((name,)), false))
             if node.negated:
                 e = ast.UnaryOp("not", e)
             return cur, e
@@ -2332,16 +2407,32 @@ class Planner:
                    cur.est), mark
 
     def _mark_exists(self, cur: Rel, q: ast.Select):
-        """Uncorrelated EXISTS as a mark: constant-key join against the
-        subquery's (limited) row set."""
-        sub = self.plan_select(q, outer=None)
-        one = ir.Literal(1, T.BIGINT)
+        """EXISTS as a mark column.  Correlated arms probe on their
+        equi-correlation keys (the reference plans these as SemiJoinNode
+        outputs consumed by the OR filter, ``sql/planner/QueryPlanner``);
+        uncorrelated arms degrade to a constant-key join against the
+        subquery's row set."""
+        parts = SubqueryParts(self, q, cur.scope)
+        inner = self.build_join_tree(parts.rels, parts.inner_conjuncts)
+        for c in parts.extra_subqueries:
+            inner = self.apply_subquery_conjunct(inner, c,
+                                                 parts.scope_for_inner)
+        if parts.corr_other:
+            raise NotImplementedError(
+                "non-equi correlated EXISTS under OR")
+        if parts.corr_eq:
+            probe_keys = tuple(self._strip_outer(o)
+                               for o, _ in parts.corr_eq)
+            build_keys = tuple(i for _, i in parts.corr_eq)
+        else:
+            one = ir.Literal(1, T.BIGINT)
+            probe_keys, build_keys = (one,), (one,)
         mark = self.fresh("mark")
         plan = P.PhysHashJoin(
-            cur.plan, sub.plan, (one,), (one,), kind="mark",
+            cur.plan, inner.plan, probe_keys, build_keys, kind="mark",
             unique_build=False, mark_name=mark,
-            build_est=sub.est, probe_est=cur.est,
-            build_cap_est=max(sub.base, sub.est))
+            build_est=inner.est, probe_est=cur.est,
+            build_cap_est=max(inner.base, inner.est))
         scope = cur.scope.merged(Scope())
         scope.add(None, mark, mark, T.BOOLEAN)
         return Rel(plan, scope, cur.columns | {mark}, cur.unique_keys,

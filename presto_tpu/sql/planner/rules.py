@@ -257,7 +257,9 @@ class PushFilterThroughJoin(Rule):
         to_probe, to_build, kept = [], [], []
         for c in conjuncts(node.predicate):
             refs = set(ir.referenced_columns(c))
-            if refs <= probe_cols:
+            if refs <= probe_cols and j.kind != "full":
+                # FULL: removing a probe row pre-join would resurface its
+                # build partners null-extended — semantics change
                 to_probe.append(c)
             elif j.kind == "inner" and refs <= set(payload):
                 mapping = {r.name: ir.ColumnRef(payload[r.name], r.dtype)
