@@ -145,6 +145,18 @@ class Column:
                 )
         else:
             vals = np.asarray(self.values)
+            from .types import is_timestamp_tz
+            if is_timestamp_tz(self.dtype):
+                # render "yyyy-mm-dd hh:mm:ss.fff +hh:mm" (the client
+                # protocol carries zoned timestamps as strings, like the
+                # reference's protocol encoding)
+                offs = (np.zeros(n, np.int64) if self.values2 is None
+                        else np.asarray(self.values2))
+                for i in range(n):
+                    out.append(format_tstz(int(vals[i]), int(offs[i]),
+                                           self.dtype.precision)
+                               if valid[i] else None)
+                return out
             if vals.dtype == object:  # long-decimal python ints
                 for i in range(n):
                     out.append(vals[i] if valid[i] else None)
@@ -152,6 +164,21 @@ class Column:
                 for i in range(n):
                     out.append(vals[i].item() if valid[i] else None)
         return out
+
+
+def format_tstz(utc_micros: int, offset_min: int, precision: int = 3) -> str:
+    """Render a zoned timestamp at its presentation offset."""
+    import datetime as dt
+    local = dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=utc_micros + offset_min * 60_000_000)
+    body = local.isoformat(" ")
+    if "." not in body:
+        body += "."
+    head, frac = body.split(".")
+    body = head if precision == 0 else f"{head}.{frac[:precision]:0<{precision}}"
+    sign = "-" if offset_min < 0 else "+"
+    h, m = divmod(abs(offset_min), 60)
+    return f"{body} {sign}{h:02d}:{m:02d}"
 
 
 def plain_column(dtype: DataType, values, validity=None) -> Column:

@@ -126,6 +126,31 @@ class TimestampType(DataType):
 
 
 @dataclass(frozen=True)
+class TimestampTzType(DataType):
+    """TIMESTAMP(p) WITH TIME ZONE.
+
+    The reference packs (millisUtc, zoneKey) into one long
+    (``spi/type/TimestampWithTimeZoneType``, ``spi/DateTimeEncoding.java``)
+    — bit-packing is hostile to vector arithmetic, so the TPU layout keeps
+    two dense arrays: the UTC instant in micros (``values``, int64) and the
+    per-row zone offset in minutes (``values2``, int32).  Comparison,
+    grouping, and ordering use the instant alone (reference semantics:
+    ``TimestampWithTimeZoneOperators`` compares unpacked millis); the
+    offset only affects rendering and field extraction."""
+
+    precision: int = 3
+    name: str = field(init=False, default="timestamp with time zone")
+
+    @property
+    def np_dtype(self):
+        return np.int64
+
+    def __str__(self) -> str:
+        return (f"timestamp({self.precision}) with time zone"
+                if self.precision != 3 else "timestamp with time zone")
+
+
+@dataclass(frozen=True)
 class IntervalDayTimeType(DataType):
     """INTERVAL DAY TO SECOND as microseconds int64 (reference:
     ``spi/type/IntervalDayTimeType`` — millis there, micros here to
@@ -218,6 +243,7 @@ class MapType(DataType):
 
 BIGINT = BigintType()
 TIMESTAMP = TimestampType()
+TIMESTAMP_TZ = TimestampTzType()
 INTEGER = IntegerType()
 BOOLEAN = BooleanType()
 INTERVAL_DAY_TIME = IntervalDayTimeType()
@@ -277,6 +303,10 @@ def is_integral(t: DataType) -> bool:
     return isinstance(t, (BigintType, IntegerType))
 
 
+def is_timestamp_tz(t: DataType) -> bool:
+    return isinstance(t, TimestampTzType)
+
+
 def common_super_type(a: DataType, b: DataType) -> DataType:
     """Type unification for binary expressions (reference:
     ``sql/analyzer/TypeCoercion.java``)."""
@@ -299,6 +329,11 @@ def common_super_type(a: DataType, b: DataType) -> DataType:
         return DATE
     if isinstance(a, TimestampType) and isinstance(b, TimestampType):
         return TimestampType(precision=max(a.precision, b.precision))
+    if isinstance(a, TimestampTzType) and isinstance(b, TimestampTzType):
+        return TimestampTzType(precision=max(a.precision, b.precision))
+    if {type(a), type(b)} <= {TimestampType, TimestampTzType}:
+        # plain comparand is coerced to the instant (session zone = UTC)
+        return a if isinstance(a, TimestampTzType) else b
     if {type(a), type(b)} <= {DateType, TimestampType}:
         return a if isinstance(a, TimestampType) else b
     if isinstance(a, IntervalDayTimeType) and \

@@ -130,6 +130,9 @@ def to_host(col: DCol, sel: np.ndarray) -> Column:
         # long decimal (hi, lo) words → exact python ints
         from ..ops.int128 import to_host_ints
         return Column(col.dtype, to_host_ints(vals), validity, PLAIN)
+    if T.is_timestamp_tz(col.dtype) and col.values2 is not None:
+        return Column(col.dtype, vals, validity, PLAIN,
+                      values2=np.asarray(col.values2)[sel])
     return Column(col.dtype, vals, validity, PLAIN)
 
 

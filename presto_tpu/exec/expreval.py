@@ -111,6 +111,10 @@ def eval_expr(expr: ir.Expr, chunk: Chunk) -> DCol:
             return DCol(t, BYTES, vals, jnp.full((n,), len(s), jnp.int32))
         if isinstance(t, T.BooleanType):
             return DCol(t, PLAIN, jnp.full((n,), bool(expr.value), jnp.bool_))
+        if T.is_timestamp_tz(t):
+            us, off = expr.value       # (utc_micros, offset_minutes)
+            return DCol(t, PLAIN, jnp.full((n,), int(us), jnp.int64),
+                        values2=jnp.full((n,), int(off), jnp.int32))
         v = int(expr.value)
         if not (-2**63 <= v < 2**63):  # long-decimal literal: (hi, lo) words
             hi, lo = v >> 64, v % (1 << 64)
@@ -1122,8 +1126,20 @@ def _eval_date_func(expr: ir.Func, args, n: int) -> Optional[DCol]:
                     "week", "date_trunc", "date_add", "date_diff",
                     "date_format", "format_datetime", "hour", "minute",
                     "second", "millisecond", "year_of_week", "yow",
-                    "last_day_of_month", "from_unixtime", "to_unixtime"):
+                    "last_day_of_month", "from_unixtime", "to_unixtime",
+                    "at_timezone"):
         return None
+    if name == "at_timezone":
+        a = args[0]
+        off = _zone_offset_minutes(_lit_str(expr.args[1]))
+        # plain timestamps are instants in the session zone (UTC); tz
+        # inputs keep their instant and only change presentation offset
+        n_ = a.values.shape[0]
+        return DCol(expr.dtype, PLAIN, a.values.astype(jnp.int64),
+                    validity=a.validity,
+                    values2=jnp.full((n_,), off, jnp.int32))
+    # field extraction runs in each value's own zone
+    args = [_tz_localize(a) if isinstance(a, DCol) else a for a in args]
     if name in ("hour", "minute", "second", "millisecond"):
         a = args[0]
         us = a.values.astype(jnp.int64)
@@ -1591,8 +1607,39 @@ def _host_like(s: str, pattern: str) -> bool:
     return re.match(rx, s, re.S) is not None
 
 
+def _zone_offset_minutes(z: str) -> int:
+    """Fixed-offset zone string → minutes east of UTC.  Named IANA zones
+    need per-instant DST tables (the reference ships ``TimeZoneKey`` +
+    joda rules); the TPU engine supports the fixed-offset subset, which
+    is what the SQL spec's INTERVAL-offset form defines."""
+    z = z.strip()
+    if z.upper() in ("UTC", "Z", "GMT"):
+        return 0
+    if z and z[0] in "+-":
+        sign = -1 if z[0] == "-" else 1
+        hh, _, mm = z[1:].partition(":")
+        return sign * (int(hh) * 60 + int(mm or 0))
+    raise NotImplementedError(
+        f"named time zone {z!r} (fixed offsets only)")
+
+
+def _tz_localize(col: DCol) -> DCol:
+    """timestamp-with-time-zone → plain timestamp holding the LOCAL wall
+    time (instant + offset), for field extraction in the value's zone
+    (reference: ``ExtractTimestampWithTimeZone`` converts to the zone's
+    local chronology before extracting)."""
+    if not T.is_timestamp_tz(col.dtype):
+        return col
+    off = (jnp.zeros_like(col.values) if col.values2 is None
+           else col.values2.astype(jnp.int64) * 60_000_000)
+    return DCol(T.TimestampType(precision=col.dtype.precision), PLAIN,
+                col.values.astype(jnp.int64) + off, validity=col.validity)
+
+
 def _to_days(col: DCol) -> jnp.ndarray:
     """date → days; timestamp(micros) → days (floor toward -inf)."""
+    if T.is_timestamp_tz(col.dtype):
+        col = _tz_localize(col)
     v = col.values.astype(jnp.int64)
     if isinstance(col.dtype, T.TimestampType):
         return jnp.floor_divide(v, 86_400_000_000)
@@ -1629,6 +1676,21 @@ def _cast(col: DCol, to: T.DataType) -> DCol:
         hi, lo = I128.rescale(hi, lo, fs, ts)
         return DCol(to, PLAIN, I128.pack(hi, lo), validity=col.validity)
     if col.kind == PLAIN:
+        if T.is_timestamp_tz(col.dtype):
+            # → timestamp: the value's LOCAL wall time; → date: local day
+            # (reference: ``TimestampWithTimeZoneToTimestampCast``)
+            local = _tz_localize(col)
+            if isinstance(to, T.TimestampType):
+                return DCol(to, PLAIN, local.values, validity=col.validity)
+            if isinstance(to, T.DateType):
+                return DCol(to, PLAIN, _to_days(local).astype(jnp.int32),
+                            validity=col.validity)
+        if T.is_timestamp_tz(to):
+            us = col.values.astype(jnp.int64)
+            if isinstance(col.dtype, T.DateType):
+                us = us * 86_400_000_000
+            return DCol(to, PLAIN, us, validity=col.validity,
+                        values2=jnp.zeros(us.shape, jnp.int32))
         if isinstance(to, T.TimestampType) and isinstance(col.dtype, T.DateType):
             return DCol(to, PLAIN,
                         col.values.astype(jnp.int64) * 86_400_000_000,

@@ -788,8 +788,17 @@ def concat_chunks(chunks: List[Chunk]) -> Chunk:
             vals = jnp.concatenate([c.values for c in cols])
             validity = _concat_validity(cols)
             wide = next((c for c in cols if c.values.ndim == 2), cols[0])
+            v2 = None
+            if any(c.values2 is not None for c in cols):
+                # zoned timestamps: concat presentation offsets (0 for
+                # plain-timestamp branches coerced to the session zone)
+                v2 = jnp.concatenate(
+                    [c.values2 if c.values2 is not None
+                     else jnp.zeros((c.values.shape[0],), jnp.int32)
+                     for c in cols])
             total_cols[name] = DCol(wide.dtype, cols[0].kind, vals,
-                                    None, validity, cols[0].dictionary)
+                                    None, validity, cols[0].dictionary,
+                                    values2=v2)
     mask = jnp.concatenate([ch.mask for ch in chunks])
     return Chunk(total_cols, mask)
 

@@ -125,11 +125,14 @@ class Parser:
             self.accept("kw", "distinct")
             right = self._parse_setop_operand()
             # ORDER BY / LIMIT greedily parsed into the right arm belong to
-            # the set operation as a whole
-            order_by, limit = getattr(right, "order_by", []), \
-                getattr(right, "limit", None)
-            if order_by or limit:
-                right.order_by, right.limit = [], None
+            # the set operation as a whole — but a PARENTHESIZED operand
+            # keeps its own (``(q1) union all (q2 limit 1)``)
+            order_by, limit = [], None
+            if not getattr(right, "_paren", False):
+                order_by, limit = getattr(right, "order_by", []), \
+                    getattr(right, "limit", None)
+                if order_by or limit:
+                    right.order_by, right.limit = [], None
             left = ast.SetOp(left, right, op, all_, order_by, limit)
         return left
 
@@ -143,6 +146,7 @@ class Parser:
                     self.peek().kind == "op" and self.peek().value == "("):
                 q = self.parse_query()
                 self.expect("op", ")")
+                q._paren = True
                 return q
             self.i = save
         return self.parse_select()
@@ -476,6 +480,10 @@ class Parser:
                     break
             self.expect("op", ")")
             tn = f"{tn}({','.join(args)})"
+        if (self.at_kw("with") and self.peek(1).value == "time"
+                and self.peek(2).value == "zone"):
+            self.next(), self.next(), self.next()
+            tn = f"{tn} with time zone"
         return tn
 
     def parse_expr(self) -> ast.Node:
@@ -577,6 +585,12 @@ class Parser:
             idx = self.parse_expr()
             self.expect("op", "]")
             e = ast.Subscript(e, idx)
+        while (self.peek().value == "at" and self.peek(1).value == "time"
+               and self.peek(2).value == "zone"):
+            # postfix AT TIME ZONE (reference grammar: valueExpression AT
+            # timeZoneSpecifier, ``sql/tree/AtTimeZone.java``)
+            self.next(), self.next(), self.next()
+            e = ast.FuncCall("at_timezone", [e, self.parse_primary()])
         return e
 
     def parse_primary(self) -> ast.Node:

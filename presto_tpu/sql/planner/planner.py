@@ -53,7 +53,30 @@ def _timestamp_micros(text: str) -> int:
         d = dt.datetime.fromisoformat(t)
     else:
         d = dt.datetime.combine(dt.date.fromisoformat(t), dt.time())
+    if d.tzinfo is not None:
+        raise ValueError("zoned literal — use _timestamp_tz_parts")
     return int((d - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def _timestamp_tz_parts(text: str):
+    """``'2020-06-10 15:30:00 +05:30'`` → (utc_micros, offset_minutes),
+    or None when the literal carries no zone.  Literal zones are fixed
+    offsets (reference: ``spi/TimeZoneKey`` resolves names to offsets;
+    named IANA zones need per-instant DST rules — see at_timezone)."""
+    t = text.strip()
+    if " " not in t:
+        return None
+    # python's fromisoformat accepts '+05:30' only without the space
+    head, _, tail = t.rpartition(" ")
+    if tail and tail[0] in "+-" and ":" in tail:
+        t = head + tail
+    d = dt.datetime.fromisoformat(t)
+    if d.tzinfo is None:
+        return None
+    off_min = int(d.utcoffset().total_seconds() // 60)
+    utc = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    us = int((utc - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    return us, off_min
 
 
 def _add_interval(d: dt.date, n: int, unit: str) -> dt.date:
@@ -615,6 +638,9 @@ class Planner:
         if isinstance(node, ast.DateLit):
             return ir.lit_date(_days(node.value))
         if isinstance(node, ast.TimestampLit):
+            tz = _timestamp_tz_parts(node.value)
+            if tz is not None:
+                return ir.Literal(tz, T.TIMESTAMP_TZ)
             micros = _timestamp_micros(node.value)
             return ir.Literal(micros, T.TIMESTAMP)
         if isinstance(node, ast.IntervalLit):
@@ -838,6 +864,13 @@ class Planner:
             return ir.Func(name, args, T.BIGINT)
         if name in ("month", "day"):
             return ir.Func(name, args, T.BIGINT)
+        if name in ("at_timezone", "with_timezone"):
+            # e AT TIME ZONE z / with_timezone(ts, z): same instant,
+            # new presentation offset (``scalar/AtTimeZone.java``)
+            p = (args[0].dtype.precision
+                 if T.is_timestamp_tz(args[0].dtype) else 3)
+            return ir.Func("at_timezone", args,
+                           T.TimestampTzType(precision=min(p, 6)))
         if name == "year":
             return ir.ExtractYear(args[0])
         if name in ("sqrt", "exp", "ln", "log10", "log2", "log", "cbrt",
@@ -2688,10 +2721,12 @@ def _parse_type(name: str) -> T.DataType:
     if name == "date":
         return T.DATE
     if name.startswith("timestamp"):
+        tz = name.endswith("with time zone")
         if "(" in name:
-            p = int(name[name.index("(") + 1:-1])
-            return T.TimestampType(precision=min(p, 6))
-        return T.TIMESTAMP
+            p = int(name[name.index("(") + 1:name.index(")")])
+            return (T.TimestampTzType(precision=min(p, 6)) if tz
+                    else T.TimestampType(precision=min(p, 6)))
+        return T.TIMESTAMP_TZ if tz else T.TIMESTAMP
     if name.replace(" ", "") in ("intervaldaytosecond", "intervalday"):
         return T.INTERVAL_DAY_TIME
     if name.replace(" ", "") in ("intervalyeartomonth", "intervalyear",
