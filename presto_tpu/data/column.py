@@ -37,6 +37,8 @@ DICT = "dict"
 BYTES = "bytes"
 ARRAY = "array"   # values [N, W] of element dtype + lengths [N]
 MAP = "map"       # values [N, W] keys + values2 [N, W] map-values + lengths
+ROW = "row"       # host-edge only: named child Columns (device side is
+                  # always SHREDDED into per-field columns)
 
 ArrayLike = Union[np.ndarray, "jax.Array"]  # noqa: F821 - device arrays allowed
 
@@ -51,6 +53,7 @@ class Column:
     lengths: Optional[ArrayLike] = None      # kind==BYTES/ARRAY/MAP: int32 [N]
     values2: Optional[ArrayLike] = None      # kind==MAP: map values [N, W]
     dictionary2: Optional[np.ndarray] = None  # kind==MAP: map-VALUE dict
+    children: Optional[list] = None          # kind==ROW: [(field, Column)]
 
     def __post_init__(self):
         if self.kind == DICT and self.dictionary is None:
@@ -78,6 +81,8 @@ class Column:
             validity=None if self.validity is None else np.asarray(self.validity)[indices],
             lengths=None if self.lengths is None else np.asarray(self.lengths)[indices],
             values2=None if self.values2 is None else np.asarray(self.values2)[indices],
+            children=None if self.children is None else [
+                (f, c.take(indices)) for f, c in self.children],
         )
         return out
 
@@ -90,6 +95,8 @@ class Column:
             validity=None if self.validity is None else self.validity[sl],
             lengths=None if self.lengths is None else self.lengths[sl],
             values2=None if self.values2 is None else self.values2[sl],
+            children=None if self.children is None else [
+                (f, c.slice(start, count)) for f, c in self.children],
         )
 
     # ---- host-side materialization (testing / client output) ----
@@ -98,6 +105,9 @@ class Column:
         n = self.row_count
         valid = np.ones(n, dtype=bool) if self.validity is None else np.asarray(self.validity)
         out = []
+        if self.kind == ROW:
+            fields = [(f, c.to_pylist()) for f, c in self.children]
+            return [{f: vals[i] for f, vals in fields} for i in range(n)]
         if self.kind in (ARRAY, MAP):
             vals = np.asarray(self.values)
             lens = np.asarray(self.lengths)
@@ -164,6 +174,19 @@ class Column:
                 for i in range(n):
                     out.append(vals[i].item() if valid[i] else None)
         return out
+
+
+def row_column(fields) -> Column:
+    """Assemble a ROW-kind host column from [(field_name, Column)]."""
+    from .types import RowType
+    assert fields, "row column needs at least one field"
+    n = fields[0][1].row_count
+    return Column(
+        dtype=RowType(tuple((f, c.dtype) for f, c in fields)),
+        values=np.zeros(n, np.bool_),   # placeholder for row_count only
+        kind=ROW,
+        children=list(fields),
+    )
 
 
 def format_tstz(utc_micros: int, offset_min: int, precision: int = 3) -> str:

@@ -224,6 +224,29 @@ class ArrayType(DataType):
 
 
 @dataclass(frozen=True)
+class RowType(DataType):
+    """ROW(name type, ...): anonymous-struct type.
+
+    Physical layout is SHREDDED struct-of-arrays (the columnar engines'
+    standard struct decomposition): a row-typed column ``r`` with fields
+    ``x, y`` lives as independent device columns ``r.x`` and ``r.y`` —
+    the TPU-first redesign of the reference's ``spi/block/RowBlock.java``
+    (child blocks behind one object header).  Rows re-assemble only at
+    the client edge (``data/column.py`` ROW kind)."""
+
+    fields: Tuple[Tuple[str, DataType], ...] = ()
+    name: str = field(init=False, default="row")
+
+    @property
+    def np_dtype(self):
+        raise TypeError("row type has no single physical dtype (shredded)")
+
+    def __str__(self) -> str:
+        inner = ",".join(f"{n} {t}" for n, t in self.fields)
+        return f"row({inner})"
+
+
+@dataclass(frozen=True)
 class MapType(DataType):
     """MAP(key, value): paired fixed-capacity layouts — key values
     ``[N, W]`` + map values ``[N, W]`` + lengths ``[N]`` (reference:
@@ -305,6 +328,14 @@ def is_integral(t: DataType) -> bool:
 
 def is_timestamp_tz(t: DataType) -> bool:
     return isinstance(t, TimestampTzType)
+
+
+def is_row(t: DataType) -> bool:
+    return isinstance(t, RowType)
+
+
+def row(*fields) -> RowType:
+    return RowType(tuple(fields))
 
 
 def common_super_type(a: DataType, b: DataType) -> DataType:

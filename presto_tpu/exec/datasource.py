@@ -96,14 +96,32 @@ class DataSource:
         for key in [k for k in self._cols if k[0] == name]:
             del self._cols[key]
 
+    @staticmethod
+    def _shred_rows(table):
+        """ROW columns store SHREDDED: each field becomes a dotted plain
+        column (``r.x``) — the device never sees a struct; the planner's
+        dotted-name resolution reads fields straight off the scan."""
+        if not any(getattr(c, "kind", None) == "row"
+                   for c in table.columns.values()):
+            return table
+        from ..data.table import Table
+        out = {}
+        for cname, col in table.columns.items():
+            if getattr(col, "kind", None) == "row":
+                for f, child in col.children:
+                    out[f"{cname}.{f}"] = child
+            else:
+                out[cname] = col
+        return Table(out)
+
     def create_table(self, name: str, table) -> None:
         sink = self.catalog.get("memory").page_sink
-        sink.create_table(name, table)
+        sink.create_table(name, self._shred_rows(table))
         self._drop_cached(name)
 
     def insert_into(self, name: str, table) -> None:
         sink = self.catalog.get("memory").page_sink
-        sink.insert(name, table)
+        sink.insert(name, self._shred_rows(table))
         self._drop_cached(name)
 
     def drop_table(self, name: str) -> None:

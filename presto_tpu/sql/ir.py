@@ -260,6 +260,30 @@ class Func(Expr):
 
 
 @dataclass(frozen=True)
+class RowValue(Expr):
+    """Plan-time row value: named field expressions.  Never reaches the
+    executor — the planner SHREDS row-typed select items into per-field
+    physical columns (``name.field``) and decomposes row comparisons /
+    field dereferences / subscripts before lowering (the TPU analogue of
+    ``spi/block/RowBlock`` + ``RowComparisonOperators``)."""
+
+    fields: Tuple[Tuple[str, Expr], ...]
+
+    def children(self):
+        return tuple(e for _, e in self.fields)
+
+    @property
+    def dtype(self):
+        return T.RowType(tuple((n, e.dtype) for n, e in self.fields))
+
+    def field(self, name: str) -> Expr:
+        for n, e in self.fields:
+            if n == name:
+                return e
+        raise KeyError(f"row has no field {name}")
+
+
+@dataclass(frozen=True)
 class IsNull(Expr):
     arg: Expr
     negated: bool = False

@@ -469,6 +469,16 @@ class Parser:
         string for the analyzer (reference grammar rule ``type`` in
         ``SqlBase.g4``)."""
         tn = self.next().value
+        if tn == "row" and self.accept("op", "("):
+            # ROW(name type, ...) — named fields (``spi/type/RowType``)
+            fields = []
+            while True:
+                fname = self.next().value
+                fields.append(f"{fname} {self._parse_type_name()}")
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            return f"row({','.join(fields)})"
         if self.accept("op", "("):
             args = []
             while True:
@@ -660,6 +670,14 @@ class Parser:
                     whens = [(ast.BinaryOp("=", operand, c), v)
                              for c, v in whens]
                 return ast.CaseExpr(whens, default)
+            if self.at_kw("row") and self.peek(1).value == "(":
+                # explicit ROW constructor (``sql/tree/Row.java``)
+                self.next(), self.next()
+                items = [self.parse_expr()]
+                while self.accept("op", ","):
+                    items.append(self.parse_expr())
+                self.expect("op", ")")
+                return ast.FuncCall("row", items)
             if self.accept("kw", "cast"):
                 self.expect("op", "(")
                 e = self.parse_expr()

@@ -115,8 +115,27 @@ class Scope:
         if len(parts) == 1:
             return self.entries.get((None, parts[0]))
         if len(parts) == 2:
-            return self.entries.get((parts[0], parts[1]))
+            # alias.column first, then row-field dereference r.x of a
+            # SHREDDED row column stored under the dotted physical name
+            return (self.entries.get((parts[0], parts[1]))
+                    or self.entries.get((None, f"{parts[0]}.{parts[1]}")))
+        if len(parts) == 3:
+            # alias.row.field
+            return (self.entries.get((parts[0], f"{parts[1]}.{parts[2]}"))
+                    or self.entries.get((None, ".".join(parts))))
         return None
+
+    def row_group(self, name: str):
+        """Field entries of a shredded row column ``name`` (dotted
+        physical columns ``name.x``), in insertion order."""
+        out = []
+        seen = set()
+        for (a, n), (phys, dt) in self.entries.items():
+            if a is None and n.startswith(name + ".") and "." not in \
+                    n[len(name) + 1:] and phys not in seen:
+                seen.add(phys)
+                out.append((n[len(name) + 1:], phys, dt))
+        return out
 
     def merged(self, other: "Scope") -> "Scope":
         s = Scope(dict(self.entries))
@@ -612,6 +631,13 @@ class Planner:
             hit = scope.resolve(node.parts)
             if hit:
                 return ir.ColumnRef(hit[0], hit[1])
+            # bare reference to a SHREDDED row column: re-assemble a
+            # plan-time RowValue over its field columns
+            grp = scope.row_group(node.parts[-1]) if len(node.parts) <= 2 \
+                else []
+            if grp:
+                return ir.RowValue(tuple(
+                    (f, ir.ColumnRef(phys, dt)) for f, phys, dt in grp))
             if outer is not None:
                 hit = outer.resolve(node.parts)
                 if hit:
@@ -674,6 +700,14 @@ class Planner:
                     return _row_compare(node.op, ls, rs)
                 l = self._resolve(node.left, scope, outer)
                 r = self._resolve(node.right, scope, outer)
+                if isinstance(l, ir.RowValue) or isinstance(r, ir.RowValue):
+                    assert isinstance(l, ir.RowValue) and \
+                        isinstance(r, ir.RowValue), "row vs scalar compare"
+                    assert len(l.fields) == len(r.fields), \
+                        "row arity mismatch"
+                    return _row_compare(node.op,
+                                        [e for _, e in l.fields],
+                                        [e for _, e in r.fields])
                 return ir.Compare(node.op, l, r)
             if node.op in ("+", "-"):
                 # date ± interval: literal dates fold at plan time; date/
@@ -801,7 +835,20 @@ class Planner:
             return ir.Substring(arg, int(start.value), size)
         if isinstance(node, ast.CastExpr):
             arg = self._resolve(node.arg, scope, outer)
-            return ir.Cast(arg, _parse_type(node.type_name))
+            to = _parse_type(node.type_name)
+            if T.is_row(to):
+                # CAST(row(...) AS ROW(a t1, b t2)): NAME the fields and
+                # cast each (``RowToRowCast``) — stays a plan-time value
+                assert isinstance(arg, ir.RowValue), \
+                    f"cast to row from {arg.dtype}"
+                assert len(arg.fields) == len(to.fields), \
+                    "row cast arity mismatch"
+                return ir.RowValue(tuple(
+                    (fn, e if e.dtype == ft else ir.Cast(e, ft))
+                    for (fn, ft), (_, e) in zip(to.fields, arg.fields)))
+            if isinstance(arg, ir.RowValue):
+                raise NotImplementedError(f"cast row to {to}")
+            return ir.Cast(arg, to)
         if isinstance(node, ast.IsNullExpr):
             return ir.IsNull(self._resolve(node.arg, scope, outer),
                              node.negated)
@@ -830,6 +877,11 @@ class Planner:
         if isinstance(node, ast.Subscript):
             base = self._resolve(node.base, scope, outer)
             idx = self._resolve(node.index, scope, outer)
+            if isinstance(base, ir.RowValue):
+                # r[n]: 1-based field ordinal, static (``RowFieldReference``)
+                assert isinstance(idx, ir.Literal), \
+                    "row subscript must be a literal ordinal"
+                return base.fields[int(idx.value) - 1][1]
             if T.is_map(base.dtype):
                 return ir.Func("map_element_at", (base, idx),
                                base.dtype.value)
@@ -854,6 +906,11 @@ class Planner:
         ``metadata/FunctionRegistry.java`` resolution)."""
         name = node.name
         args = tuple(self._resolve(a, scope, outer) for a in node.args)
+        if name == "row":
+            # anonymous row constructor — fields named positionally
+            # until a CAST(... AS ROW(a t, ...)) names them
+            return ir.RowValue(tuple((f"f{i}", e)
+                                     for i, e in enumerate(args)))
         if name in ("abs", "upper", "lower", "nullif"):
             return ir.Func(name, args, args[0].dtype)
         if name == "mod":
@@ -1215,6 +1272,13 @@ class Planner:
             else:
                 e = self.resolve(it.expr, post_scope, outer)
             name = it.alias or self._derived_name(it.expr, i)
+            if isinstance(e, ir.RowValue):
+                # SHRED: one physical column per field, dotted name —
+                # re-assembled into a ROW value at the client edge
+                # (see ``data/column.py`` ROW kind)
+                for fld, fe in e.fields:
+                    items.append((f"{name}.{fld}", fe))
+                continue
             # duplicate output names get positional suffixes (columns are
             # dict-keyed; both copies are still produced)
             if any(n == name for n, _ in items):
@@ -2712,6 +2776,19 @@ def _row_compare(op: str, ls, rs) -> ir.Expr:
     return out
 
 
+def _split_commas(s: str):
+    """Split on top-level commas (nested parens stay intact)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        depth += ch == "("
+        depth -= ch == ")"
+        if ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
 def _parse_type(name: str) -> T.DataType:
     name = name.lower()
     if name in ("bigint", "integer", "int"):
@@ -2746,6 +2823,12 @@ def _parse_type(name: str) -> T.DataType:
         return T.DOUBLE
     if name in ("smallint", "tinyint"):
         return T.BIGINT
+    if name.startswith("row(") and name.endswith(")"):
+        fields = []
+        for part in _split_commas(name[4:-1]):
+            fname, _, ftype = part.strip().partition(" ")
+            fields.append((fname, _parse_type(ftype.strip())))
+        return T.RowType(tuple(fields))
     if name.startswith("array(") and name.endswith(")"):
         return T.ArrayType(_parse_type(name[6:-1]))
     if name.startswith("map(") and name.endswith(")"):
