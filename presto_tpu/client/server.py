@@ -65,13 +65,25 @@ class StatementServer:
     """Serves the statement protocol for one engine Connection."""
 
     def __init__(self, connection, host: str = "127.0.0.1", port: int = 0,
-                 resource_groups=None):
+                 resource_groups=None, shared_secret: Optional[str] = None,
+                 compress: bool = False):
         self.connection = connection
         self._queries: Dict[str, _QueryResult] = {}
         self._lock = threading.Lock()        # engine is single-controller
         # optional admission control (parallel/resource_groups.py —
         # the DispatchManager + InternalResourceGroup role)
         self.resource_groups = resource_groups
+        # internal-communication auth (reference:
+        # ``server/security/InternalAuthenticationManager`` — shared-secret
+        # bearer auth on every internal request; TLS is terminated in
+        # front of the loopback server in this deployment shape)
+        self.shared_secret = shared_secret
+        # response compression flag (the exchange-compression analogue:
+        # reference compresses exchange pages with LZ4,
+        # ``FeaturesConfig.isExchangeCompressionEnabled``; device→device
+        # traffic here rides ICI uncompressed BY DESIGN, so the only wire
+        # worth compressing is this client edge — gzip, stdlib)
+        self.compress = compress
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -82,11 +94,24 @@ class StatementServer:
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
+                if server.compress and len(body) > 256 and "gzip" in \
+                        self.headers.get("Accept-Encoding", ""):
+                    import gzip as _gz
+                    body = _gz.compress(body, compresslevel=1)
+                    self.send_header("Content-Encoding", "gzip")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _authorized(self) -> bool:
+                if server.shared_secret is None:
+                    return True
+                tok = self.headers.get("Authorization", "")
+                return tok == f"Bearer {server.shared_secret}"
+
             def do_POST(self):
+                if not self._authorized():
+                    return self._send({"error": "unauthorized"}, 401)
                 if self.path.rstrip("/") != "/v1/statement":
                     return self._send({"error": "not found"}, 404)
                 n = int(self.headers.get("Content-Length", 0))
@@ -106,6 +131,8 @@ class StatementServer:
                 self._send(server._results(q, token=0, data=False))
 
             def do_GET(self):
+                if not self._authorized():
+                    return self._send({"error": "unauthorized"}, 401)
                 parts = self.path.strip("/").split("/")
                 if self.path.rstrip("/") in ("", "/ui"):
                     # Web UI (the reference's query overview page,
@@ -297,17 +324,35 @@ class StatementServer:
 class HttpClient:
     """Minimal StatementClientV1 analogue: POST then follow nextUri."""
 
-    def __init__(self, base_url: str, user: str = "presto"):
+    def __init__(self, base_url: str, user: str = "presto",
+                 token: Optional[str] = None, accept_gzip: bool = False):
         self.base_url = base_url.rstrip("/")
         self.user = user
+        self.token = token            # shared-secret bearer auth
+        self.accept_gzip = accept_gzip
+
+    def _headers(self) -> dict:
+        h = {"X-Trino-User": self.user}
+        if self.token is not None:
+            h["Authorization"] = f"Bearer {self.token}"
+        if self.accept_gzip:
+            h["Accept-Encoding"] = "gzip"
+        return h
+
+    def _read(self, resp):
+        raw = resp.read()
+        if resp.headers.get("Content-Encoding") == "gzip":
+            import gzip as _gz
+            raw = _gz.decompress(raw)
+        return json.loads(raw)
 
     def execute(self, sql: str) -> Tuple[List[dict], List[list]]:
         import urllib.request
         req = urllib.request.Request(
             f"{self.base_url}/v1/statement", data=sql.encode(),
-            headers={"X-Trino-User": self.user}, method="POST")
+            headers=self._headers(), method="POST")
         with urllib.request.urlopen(req) as resp:
-            body = json.loads(resp.read())
+            body = self._read(resp)
         columns: List[dict] = []
         rows: List[list] = []
         while True:
@@ -318,5 +363,6 @@ class HttpClient:
             nxt = body.get("nextUri")
             if nxt is None:
                 return columns, rows
-            with urllib.request.urlopen(nxt) as resp:
-                body = json.loads(resp.read())
+            req = urllib.request.Request(nxt, headers=self._headers())
+            with urllib.request.urlopen(req) as resp:
+                body = self._read(resp)

@@ -144,3 +144,37 @@ def test_web_ui(server):
         body = resp.read().decode()
     assert "presto_tpu coordinator" in body
     assert "FINISHED" in body and "count(*)" in body
+
+
+def test_shared_secret_auth():
+    """Internal-communication auth: requests without the bearer secret
+    are rejected 401; the authed client works (reference:
+    ``server/security/InternalAuthenticationManager``)."""
+    import urllib.error
+    srv = StatementServer(connect(scale_factor=SF), shared_secret="s3cr3t")
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            HttpClient(srv.url).execute("select 1 as x from region limit 1")
+        assert ei.value.code == 401
+        cols, rows = HttpClient(srv.url, token="s3cr3t").execute(
+            "select 1 as x from region limit 1")
+        assert rows == [[1]]
+    finally:
+        srv.close()
+
+
+def test_gzip_compression_flag():
+    """Client-edge response compression flag (the reference's
+    exchange-compression analogue: ``FeaturesConfig
+    .isExchangeCompressionEnabled``; ICI traffic stays raw by design)."""
+    srv = StatementServer(connect(scale_factor=SF), compress=True)
+    try:
+        cols, rows = HttpClient(srv.url, accept_gzip=True).execute(
+            "select o_orderkey from orders order by o_orderkey limit 2000")
+        assert len(rows) == 2000 and rows[0] == [1]
+        # negotiation: a client NOT accepting gzip still gets plain JSON
+        cols, rows = HttpClient(srv.url).execute(
+            "select count(*) c from nation")
+        assert rows == [[25]]
+    finally:
+        srv.close()
