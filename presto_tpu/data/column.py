@@ -39,6 +39,11 @@ ARRAY = "array"   # values [N, W] of element dtype + lengths [N]
 MAP = "map"       # values [N, W] keys + values2 [N, W] map-values + lengths
 ROW = "row"       # host-edge only: named child Columns (device side is
                   # always SHREDDED into per-field columns)
+RLE = "rle"       # run-length storage: values [R] run values + lengths [R]
+                  # run lengths (the ``RunLengthEncodedBlock`` analogue;
+                  # expands to dense on first device touch — one
+                  # searchsorted gather — since every traced kernel wants
+                  # dense vectors; constants stay trace-time scalars)
 
 ArrayLike = Union[np.ndarray, "jax.Array"]  # noqa: F821 - device arrays allowed
 
@@ -67,7 +72,24 @@ class Column:
 
     @property
     def row_count(self) -> int:
+        if self.kind == RLE:
+            return int(np.asarray(self.lengths).sum())
         return int(self.values.shape[0])
+
+    def decode_runs(self) -> "Column":
+        """RLE → dense (host side): expand runs by repeat.  Device-side
+        expansion lives in ``exec/columns.from_host`` (searchsorted
+        gather) so HBM uploads move R runs, not N rows."""
+        assert self.kind == RLE
+        idx = np.repeat(np.arange(len(np.asarray(self.values))),
+                        np.asarray(self.lengths))
+        vals = np.asarray(self.values)[idx]
+        validity = None if self.validity is None \
+            else np.asarray(self.validity)[idx]
+        if self.dictionary is not None:
+            return Column(self.dtype, vals.astype(np.int32), validity,
+                          DICT, dictionary=self.dictionary)
+        return Column(self.dtype, vals, validity, PLAIN)
 
     def with_values(self, values, validity="__keep__") -> "Column":
         v = self.validity if validity == "__keep__" else validity
@@ -75,6 +97,8 @@ class Column:
 
     def take(self, indices: np.ndarray) -> "Column":
         """Positional gather (reference ``Block.copyPositions:250``)."""
+        if self.kind == RLE:
+            return self.decode_runs().take(indices)
         out = replace(
             self,
             values=np.asarray(self.values)[indices],
@@ -88,6 +112,8 @@ class Column:
 
     def slice(self, start: int, count: int) -> "Column":
         """Region view (reference ``Block.getRegion:261``)."""
+        if self.kind == RLE:
+            return self.decode_runs().slice(start, count)
         sl = slice(start, start + count)
         return replace(
             self,
@@ -108,6 +134,8 @@ class Column:
         if self.kind == ROW:
             fields = [(f, c.to_pylist()) for f, c in self.children]
             return [{f: vals[i] for f, vals in fields} for i in range(n)]
+        if self.kind == RLE:
+            return self.decode_runs().to_pylist()
         if self.kind in (ARRAY, MAP):
             vals = np.asarray(self.values)
             lens = np.asarray(self.lengths)
@@ -174,6 +202,22 @@ class Column:
                 for i in range(n):
                     out.append(vals[i].item() if valid[i] else None)
         return out
+
+
+def rle_column(dtype: DataType, run_values, run_lengths, validity=None,
+               dictionary=None) -> Column:
+    """Run-length column: ``run_values[i]`` repeats ``run_lengths[i]``
+    times.  Constant columns are the 1-run case (the reference's
+    ``RunLengthEncodedBlock``); ``validity`` is per-RUN."""
+    return Column(
+        dtype=dtype,
+        values=np.asarray(run_values),
+        validity=None if validity is None else np.asarray(validity),
+        kind=RLE,
+        lengths=np.asarray(run_lengths, dtype=np.int64),
+        dictionary=None if dictionary is None
+        else np.asarray(dictionary, dtype=object),
+    )
 
 
 def row_column(fields) -> Column:

@@ -92,6 +92,21 @@ class DCol:
 
 
 def from_host(col: Column) -> DCol:
+    if col.kind == "rle":
+        # run-length upload: move R runs over the wire, expand on device
+        # with ONE searchsorted gather (``RunLengthEncodedBlock`` made
+        # HBM-bandwidth-aware: the dense vector never crosses host↔device)
+        n = col.row_count
+        ends = jnp.cumsum(jnp.asarray(col.lengths, dtype=jnp.int64))
+        idx = jnp.searchsorted(ends, jnp.arange(n, dtype=jnp.int64),
+                               side="right")
+        vals = jnp.asarray(col.values)[idx]
+        validity = None if col.validity is None else \
+            jnp.asarray(col.validity)[idx]
+        if col.dictionary is not None:
+            return DCol(col.dtype, DICT, vals.astype(jnp.int32), None,
+                        validity, Dictionary(col.dictionary))
+        return DCol(col.dtype, PLAIN, vals, None, validity)
     validity = None if col.validity is None else jnp.asarray(col.validity)
     if col.kind == DICT:
         return DCol(col.dtype, DICT, jnp.asarray(col.values), None, validity,
