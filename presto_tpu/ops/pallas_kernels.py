@@ -85,10 +85,14 @@ def _masked_sum_kernel(lo_ref, hi_ref, mask_ref, olo_ref, ohi_ref):
 
     m = mask_ref[:]
     rows = lo_ref.shape[0]
-    plo = jnp.sum(jnp.where(m, lo_ref[:], 0).reshape(
-        SUBLANES, rows // SUBLANES, LANES), axis=1)
-    phi = jnp.sum(jnp.where(m, hi_ref[:], 0).reshape(
-        SUBLANES, rows // SUBLANES, LANES), axis=1)
+    # dtype pinned: with x64 enabled jnp.sum would promote the int32
+    # accumulator to int64 INSIDE the kernel, and this stack's mosaic
+    # convert-lowering recurses forever on that cast (RecursionError at
+    # lowering) — the split-word design needs no int64 here anyway
+    plo = jnp.sum(jnp.where(m, lo_ref[:], jnp.int32(0)).reshape(
+        SUBLANES, rows // SUBLANES, LANES), axis=1, dtype=jnp.int32)
+    phi = jnp.sum(jnp.where(m, hi_ref[:], jnp.int32(0)).reshape(
+        SUBLANES, rows // SUBLANES, LANES), axis=1, dtype=jnp.int32)
     olo_ref[:] = olo_ref[:] + plo
     ohi_ref[:] = ohi_ref[:] + phi
 
