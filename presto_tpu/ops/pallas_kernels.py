@@ -170,12 +170,17 @@ def _bsearch_kernel(nvalid_ref, klo_ref, khi_ref, plo_ref, phi_ref,
     plov = plo_ref[:].astype(jnp.uint32)
 
     def gather(ref, idx):
-        return ref[idx // LANES, idx % LANES]
+        # divisor pinned int32: a bare python int promotes to an int64
+        # scalar under x64, and this stack's mosaic convert-lowering
+        # recurses forever on the in-kernel i64 cast (same root cause as
+        # the masked-sum literal — see _masked_sum_kernel)
+        lanes = jnp.int32(LANES)
+        return ref[idx // lanes, idx % lanes]
 
     def body(_, state):
         lo, hi = state
         mid = (lo + hi) >> 1
-        midc = jnp.minimum(mid, cap - 1)
+        midc = jnp.minimum(mid, jnp.int32(cap - 1))
         shi = gather(khi_ref, midc)
         slo = gather(klo_ref, midc).astype(jnp.uint32)
         lt = (shi < phiv) | ((shi == phiv) & (slo < plov))
